@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""The server executable — CLI parity with the reference's coherentrtlsdr
+binary (src/main.cc:88-160), backed by the synthetic or file source.
+
+Reference flags kept (same letters, main.cc:109-160):
+  -f <hz>     center frequency        -b <n>   block size (complex samples)
+  -s <hz>     sample rate             -n <n>   number of channels
+  -g <gain>   tuner gain (recorded)   -r <g>   reference gain (recorded)
+  -A <addr>   data bind address       -C <fn>  channel config file
+  -R          raw mode (no header)
+New:
+  --source synth|file  --capture <npz>  --blocks <n>  --state <npz>
+  --drop-rate <p>      --seed <n>
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-f", "--fcenter", type=float, default=1024e6)
+    ap.add_argument("-b", "--blocksize", type=int, default=8192)
+    ap.add_argument("-s", "--fs", type=float, default=2.048e6)
+    ap.add_argument("-n", "--nchannels", type=int, default=4)
+    ap.add_argument("-g", "--gain", type=float, default=50.0)
+    ap.add_argument("-r", "--refgain", type=float, default=50.0)
+    ap.add_argument("-A", "--address", default="tcp://*:5555")
+    ap.add_argument("--ctrl-address", default="tcp://*:5556")
+    ap.add_argument("--debug-address", default="tcp://*:5557")
+    ap.add_argument("-C", "--config", default=None)
+    ap.add_argument("-R", "--raw", action="store_true")
+    ap.add_argument("--source", choices=["synth", "file"], default="synth")
+    ap.add_argument("--capture", default=None)
+    ap.add_argument("--blocks", type=int, default=None)
+    ap.add_argument("--state", default=None, help="calibration checkpoint npz")
+    ap.add_argument("--drop-rate", type=float, default=0.0)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from coherent_rtlsdr_tpu.io.config import read_config, signal_channels
+    from coherent_rtlsdr_tpu.io.server import CoherentServer
+    from coherent_rtlsdr_tpu.pipeline import PipelineConfig
+
+    n = args.nchannels
+    if args.config:
+        defs = read_config(args.config)
+        n = len(signal_channels(defs))
+        print(f"config {args.config}: {n} signal channels")
+
+    cfg = PipelineConfig(n_channels=n, block_len=args.blocksize, fs=args.fs)
+
+    if args.source == "file":
+        from coherent_rtlsdr_tpu.io.streamio import load_capture
+        from coherent_rtlsdr_tpu.signal.sources import FileSource
+
+        source = FileSource(load_capture(args.capture), loop=False)
+    else:
+        from coherent_rtlsdr_tpu.signal import make_truth
+        from coherent_rtlsdr_tpu.signal.sources import SyntheticStreamSource
+
+        truth = make_truth(n, seed=args.seed, max_delay=40.0, snr_db=30.0)
+        source = SyntheticStreamSource(
+            truth,
+            block_len=args.blocksize,
+            seed=args.seed,
+            drop_rate=args.drop_rate,
+        )
+
+    server = CoherentServer(
+        cfg,
+        source,
+        fcenter=args.fcenter,
+        data_addr=args.address,
+        ctrl_addr=args.ctrl_address,
+        debug_addr=args.debug_address,
+        header=not args.raw,
+        state_path=args.state,
+    )
+    print(
+        f"coherent_rtlsdr_tpu server: {n} ch x {args.blocksize} @ {args.fs:.0f} "
+        f"sps, data {args.address}, ctrl {args.ctrl_address}"
+    )
+    published = server.run(max_blocks=args.blocks)
+    print(f"published {published} frames")
+
+
+if __name__ == "__main__":
+    main()

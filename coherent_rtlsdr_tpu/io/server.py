@@ -1,0 +1,232 @@
+"""The streaming server: source -> pipeline step -> ZMQ publish, with the
+console/remote control plane — the whole of the reference's main()
+orchestration (src/main.cc:162-317) and console (src/console.cc) as one
+deterministic loop instead of nine threads.
+
+Loop per block (cf. ccoherent::threadf, ccoherent.cc:245-294):
+  1. pull next block from the source (device capture / file / synthetic)
+  2. run the jitted step (measure + control + correct + phase)
+  3. requantize on-device, fetch the int8 frame, publish on :5555/:5557
+  4. drain the control socket; apply console commands
+
+Calibration state persists across restarts (checkpoint/resume — absent in
+the reference, SURVEY.md §5: "a restart requires full re-sync").
+"""
+
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from coherent_rtlsdr_tpu import constants
+from coherent_rtlsdr_tpu.io.console import ConsoleDispatcher
+from coherent_rtlsdr_tpu.pipeline.state import PipelineConfig, PipelineState
+
+
+class CoherentServer:
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        source,
+        fcenter: float = constants.DEFAULT_FCENTER,
+        data_addr: str = "tcp://*:5555",
+        ctrl_addr: str = "tcp://*:5556",
+        debug_addr: str = "tcp://*:5557",
+        header: bool = True,
+        refnoise_enabled: bool = True,
+        state_path: Optional[str] = None,
+        publisher=None,
+        control=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from coherent_rtlsdr_tpu.ops.convert import c64_to_i8_iq
+        from coherent_rtlsdr_tpu.pipeline import init_state, step
+
+        self._jax = jax
+        self._jnp = jnp
+        self.cfg = cfg
+        self.source = source
+        self.fs = cfg.fs
+        self.fcenter = fcenter
+        self.refnoise_enabled = refnoise_enabled
+        self.state_path = state_path
+        self._do_exit = False
+        self._resync_requested = False
+        self._log_lines = []
+
+        if publisher is None or control is None:
+            from coherent_rtlsdr_tpu.io.zmq_edge import ControlServer, FramePublisher
+
+            publisher = publisher or FramePublisher(
+                data_addr=data_addr, debug_addr=debug_addr, header=header
+            )
+            control = control or ControlServer(ctrl_addr)
+        self.publisher = publisher
+        self.control = control
+        self.dispatcher = ConsoleDispatcher(self)
+
+        def _step(state, sig_u8, ref_u8, gate):
+            new_state, out = step(cfg, state, sig_u8, ref_u8, gate)
+            wire_sig = c64_to_i8_iq(out.aligned)        # [N, L, 2] int8
+            wire_ref = c64_to_i8_iq(out.ref)            # [L, 2] int8
+            return new_state, wire_sig, wire_ref, out.telemetry
+
+        self._step = jax.jit(_step, donate_argnums=(0,))
+        self.state: PipelineState = init_state(cfg)
+        if state_path and os.path.exists(state_path):
+            self.restore_state(state_path)
+
+    # ---- calibration checkpoint / resume ---------------------------------
+
+    def save_state(self, path: Optional[str] = None) -> None:
+        """Persist calibration (delays, phases, sync) — restart without
+        re-sync. (hist buffers are transient and reset to zero.)"""
+        path = path or self.state_path
+        if not path:
+            return
+        s = self.state
+        np.savez(
+            path,
+            delay=np.asarray(s.delay),
+            phase_iq=np.asarray(s.phase),  # [N, 2] float pairs
+            synced=np.asarray(s.synced),
+            block_idx=np.asarray(s.block_idx),
+            fs=np.float64(self.fs),
+            fcenter=np.float64(self.fcenter),
+        )
+
+    def restore_state(self, path: str) -> None:
+        z = np.load(path)
+        jnp = self._jnp
+        self.state = self.state.replace(
+            delay=jnp.asarray(z["delay"]),
+            phase=jnp.asarray(z["phase_iq"].astype(np.float32)),
+            synced=jnp.asarray(z["synced"]),
+            block_idx=jnp.asarray(z["block_idx"]),
+        )
+        self.fs = float(z["fs"])
+        self.fcenter = float(z["fcenter"])
+
+    # ---- main loop -------------------------------------------------------
+
+    def run(self, max_blocks: Optional[int] = None) -> int:
+        """Returns the number of blocks published."""
+        jnp = self._jnp
+        n = 0
+        while not self._do_exit:
+            if max_blocks is not None and n >= max_blocks:
+                break
+            blk = self.source.next_block()
+            if blk is None:
+                break
+            sig_u8, ref_u8, seqnums = blk
+
+            if self._resync_requested:
+                self.state = self.state.replace(
+                    synced=jnp.zeros_like(self.state.synced)
+                )
+                self._resync_requested = False
+
+            gate = jnp.array(self.refnoise_enabled)
+            self.state, wire_sig, wire_ref, telem = self._step(
+                self.state, jnp.asarray(sig_u8), jnp.asarray(ref_u8), gate
+            )
+
+            # Frame layout: channel 0 = reference (cpacketizer write order,
+            # ccoherent.cc:253). Phases on the debug port.
+            frame = np.concatenate(
+                [np.asarray(wire_ref)[None], np.asarray(wire_sig)], axis=0
+            )
+            ref_seq = np.asarray(self.state.block_idx, np.uint32).reshape(1)
+            all_seq = np.concatenate([ref_seq, seqnums.astype(np.uint32)])
+            phases = np.concatenate(
+                [np.ones(1, np.complex64), self._fetch_phases(telem)]
+            )
+            self.publisher.publish(frame, all_seq, phases)
+            self.control.poll(self.dispatcher.dispatch)
+            n += 1
+        if self.state_path:
+            self.save_state()
+        return n
+
+    def _fetch_phases(self, telem) -> np.ndarray:
+        p = np.asarray(telem.phase, np.float32)  # [N, 2] (re, im)
+        return (p[..., 0] + 1j * p[..., 1]).astype(np.complex64)
+
+    # ---- console controller protocol ------------------------------------
+
+    def get_fs(self):
+        return self.fs
+
+    def set_fs(self, v):
+        self.fs = v
+        self.request_sync()  # fs change forces resync (console.cc:168)
+
+    def get_fcenter(self):
+        return self.fcenter
+
+    def set_fcenter(self, v):
+        self.fcenter = v
+        if hasattr(self.source, "set_fcenter"):
+            self.source.set_fcenter(v)
+
+    def status(self) -> str:
+        s = self.state
+        synced = np.asarray(s.synced)
+        lag = np.asarray(s.lag)
+        mag = np.asarray(s.mag)
+        lines = [f"{int(synced.sum())} / {len(synced)} synchronized"]
+        lines.append(
+            "Reference noise ENABLED."
+            if self.refnoise_enabled
+            else "Reference noise DISABLED."
+        )
+        cells = [
+            f"ch{i}:{lag[i]:+4.3f}:{mag[i]:4.3f}" for i in range(len(synced))
+        ]
+        for i in range(0, len(cells), 6):  # 6 devices per line (console.cc:327)
+            lines.append("\t".join(cells[i : i + 6]))
+        return "\n".join(lines)
+
+    def list_channels(self, all=False) -> str:
+        n = len(np.asarray(self.state.delay))
+        return f"{n} signal channels + ref (synthetic/file source)"
+
+    def phase_table(self) -> str:
+        ph = np.degrees(np.angle(np.asarray(self._fetch_phases_state())))
+        return "\t".join(str(int(p)) for p in ph)
+
+    def _fetch_phases_state(self):
+        p = np.asarray(self.state.phase, np.float32)  # [N, 2]
+        return (p[..., 0] + 1j * p[..., 1]).astype(np.complex64)
+
+    def set_refnoise(self, v: bool):
+        self.refnoise_enabled = bool(v)
+        if hasattr(self.source, "refnoise_enabled"):
+            self.source.refnoise_enabled = bool(v)
+
+    def request_lag(self):
+        # All channels are measured every block already (unlike the
+        # reference's nfft-slot round-robin); nothing to force.
+        pass
+
+    def request_sync(self):
+        self._resync_requested = True
+
+    def add_channel(self, serial: str) -> str:
+        return "add not supported for this source"
+
+    def del_channel(self, serial: str) -> str:
+        return "del not supported for this source"
+
+    def drain_log(self) -> str:
+        out = "\n".join(self._log_lines)
+        self._log_lines = []
+        return out
+
+    def shutdown(self):
+        self._do_exit = True

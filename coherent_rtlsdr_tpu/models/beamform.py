@@ -1,0 +1,85 @@
+"""Beamforming / DOA spectra on the aligned receive matrix.
+
+Covers (and extends) the reference's downstream consumers:
+  * MUSIC pseudospectrum — beamformclient/heatmap2d.cpp:61-147 (SVD noise
+    subspace + steering scan) and matlabclient/functions/pmusic.m
+  * Bartlett (delay-and-sum) — the BASELINE.json "delay-and-sum heatmap"
+  * MVDR/Capon — not in the reference; standard addition
+
+Shapes: X [N, T] snapshots, R [N, N] covariance, A [G, N] steering matrix.
+All dense linear algebra — batched matmuls (MXU) + one eigh.
+"""
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def sample_covariance(X: jnp.ndarray, subtract_mean: bool = True) -> jnp.ndarray:
+    """R = X X^H / T, optionally mean-subtracted per channel
+    (heatmap2d.cpp:61-69 subtracts the row mean before the outer product)."""
+    if subtract_mean:
+        X = X - jnp.mean(X, axis=-1, keepdims=True)
+    T = X.shape[-1]
+    return (X @ jnp.conj(X).T) / T
+
+
+def _noise_subspace(R: jnp.ndarray, n_sources: int) -> jnp.ndarray:
+    """Smallest-(N - n_sources) eigenvectors of Hermitian R.
+
+    eigh returns ascending eigenvalues, so the noise subspace is the leading
+    columns (heatmap2d.cpp uses an SVD; eigh of the Hermitian covariance is
+    the TPU-friendly equivalent).
+    """
+    _, vecs = jnp.linalg.eigh(R)
+    n = R.shape[-1]
+    return vecs[:, : n - n_sources]  # [N, N - K]
+
+
+def music_spectrum(
+    R: jnp.ndarray, A: jnp.ndarray, n_sources: int
+) -> jnp.ndarray:
+    """MUSIC pseudospectrum P[g] = (a^H a) / ||E_n^H a||^2."""
+    En = _noise_subspace(R, n_sources)          # [N, M]
+    proj = A @ jnp.conj(En)                     # [G, M]
+    denom = jnp.sum(jnp.abs(proj) ** 2, axis=-1)
+    num = jnp.sum(jnp.abs(A) ** 2, axis=-1)
+    return num / jnp.maximum(denom, 1e-12)
+
+
+def bartlett_spectrum(R: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
+    """Delay-and-sum power: P[g] = a^H R a, normalized by ||a||^2."""
+    # a^H R a as a row-wise quadratic form: (A @ R.T)[g, n] = (R a_g)[n].
+    q = jnp.sum(jnp.conj(A) * (A @ R.T), axis=-1)
+    norm = jnp.sum(jnp.abs(A) ** 2, axis=-1)
+    return jnp.real(q) / jnp.maximum(norm, 1e-12)
+
+
+def mvdr_spectrum(
+    R: jnp.ndarray, A: jnp.ndarray, diag_load: float = 1e-3
+) -> jnp.ndarray:
+    """Capon/MVDR: P[g] = 1 / (a^H R^-1 a), with diagonal loading."""
+    N = R.shape[-1]
+    tr = jnp.real(jnp.trace(R)) / N
+    Rl = R + diag_load * tr * jnp.eye(N, dtype=R.dtype)
+    Rinv_A = jnp.linalg.solve(Rl, A.T)                    # columns R^-1 a_g
+    q = jnp.real(jnp.sum(jnp.conj(A.T) * Rinv_A, axis=0))  # a^H R^-1 a
+    return 1.0 / jnp.maximum(q, 1e-12)
+
+
+def music_heatmap(
+    X: jnp.ndarray,
+    positions: jnp.ndarray,
+    n_sources: int,
+    n_points: int = 100,
+    extent: float = 1.0,
+) -> jnp.ndarray:
+    """End-to-end heatmap2d equivalent: snapshots -> [n_points, n_points]
+    MUSIC surface over the (u, v) grid."""
+    from coherent_rtlsdr_tpu.models.geometry import steering_vectors, uv_grid
+
+    uv, _ = uv_grid(n_points, extent)
+    A = steering_vectors(positions, uv)
+    R = sample_covariance(X)
+    P = music_spectrum(R, A, n_sources)
+    return P.reshape(n_points, n_points)

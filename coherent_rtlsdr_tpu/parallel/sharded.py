@@ -1,0 +1,208 @@
+"""shard_map runners for the pipeline over a (time, channel) mesh.
+
+Communication inventory (cf. SURVEY.md §2.4 — what replaces the reference's
+threads/mutex/ZMQ intra-process movement):
+
+  * overlap-save halo: each time shard sends its LAST block (signal + ref) to
+    the next shard with ``lax.ppermute`` — one L-sample hop over ICI per
+    processed slab, the analog of the FIR-tail exchange in distributed
+    overlap-save filtering.
+  * reference broadcast: the reference channel is replicated across the
+    ``channel`` axis by the input sharding (it is small); no collective in
+    the hot loop.
+  * smoother reductions: "global" smoothing needs a quality-weighted mean of
+    per-block lags and phases — two tiny ``psum``s over the ``time`` axis.
+
+Everything else is local — which is the point of the design: per-chip work is
+batched FFTs (HBM-bandwidth-bound) and collectives are O(N*L) per slab, so
+samples/s scales ~linearly in chips.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from coherent_rtlsdr_tpu.ops.convert import u8_to_c64
+from coherent_rtlsdr_tpu.ops.delay import apply_delay_phase_freq
+from coherent_rtlsdr_tpu.ops.phase import phase_correction_estimate
+from coherent_rtlsdr_tpu.ops.xcorr import lag_estimate_from_spectra
+from coherent_rtlsdr_tpu.parallel.mesh import CHANNEL_AXIS, TIME_AXIS
+from coherent_rtlsdr_tpu.pipeline.state import PipelineConfig
+from coherent_rtlsdr_tpu.pipeline.step import step
+
+
+def _halo_prev_block(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Receive the previous time shard's last block; shard 0 gets zeros.
+
+    x: local blocks ``[T_loc, ...]``; returns ``[...]`` (one block).
+    """
+    n = jax.lax.axis_size(axis_name)
+    perm = [(i, i + 1) for i in range(n - 1)]
+    halo = jax.lax.ppermute(x[-1], axis_name, perm)
+    is_first = jax.lax.axis_index(axis_name) == 0
+    return jnp.where(is_first, jnp.zeros_like(halo), halo)
+
+
+def make_sharded_align(cfg: PipelineConfig, mesh, smoothing: str = "global"):
+    """Sharded offline alignment over a (time, channel) mesh.
+
+    Input:  sig_u8 ``[T, N, L, 2]`` sharded P(time, channel);
+            ref_u8 ``[T, L, 2]`` sharded P(time) (replicated over channel).
+    Output: aligned ``[T, N, L]`` c64 P(time, channel); ref_out ``[T, L]``
+            P(time); delay/mag ``[T, N]`` P(time, channel).
+
+    Produces T output blocks: block 0 of the first shard seeds from a zero
+    halo (same semantics as the streaming step's first block). Only "global"
+    smoothing is supported sharded — it reduces exactly with ``psum``, so the
+    result matches the unsharded engine bit-for-bit up to reduction order.
+    """
+    if smoothing != "global":
+        raise NotImplementedError(
+            "sharded align supports smoothing='global' (EMA is sequential in "
+            "time; use the streaming step or unsharded align for it)"
+        )
+    L = cfg.block_len
+
+    def local_fn(sig_u8, ref_u8):
+        # Local shards: sig_u8 [T_loc, N_loc, L, 2]; ref_u8 [T_loc, L, 2].
+        sig = u8_to_c64(sig_u8)
+        ref = u8_to_c64(ref_u8)
+
+        prev_sig = _halo_prev_block(sig, TIME_AXIS)  # [N_loc, L]
+        prev_ref = _halo_prev_block(ref, TIME_AXIS)  # [L]
+
+        # Extended block axis, then streaming windows w[t] = (t-1, t).
+        ext_sig = jnp.concatenate([prev_sig[None], sig], axis=0)
+        ext_ref = jnp.concatenate([prev_ref[None], ref], axis=0)
+        w_sig = jnp.concatenate([ext_sig[:-1], ext_sig[1:]], axis=-1)  # [T_loc, N_loc, 2L]
+        w_ref = jnp.concatenate([ext_ref[:-1], ext_ref[1:]], axis=-1)  # [T_loc, 2L]
+
+        F_sig = jnp.fft.fft(w_sig, axis=-1)
+        F_ref = jnp.fft.fft(w_ref, axis=-1)
+
+        est = jax.vmap(
+            lambda fs, fr: lag_estimate_from_spectra(fs, fr, method=cfg.lag_method)
+        )(F_sig, F_ref)
+
+        # Global quality-weighted mean over ALL time blocks: two psums.
+        # The very first window of the capture straddles the zero halo, so
+        # its measurement is excluded — this makes the sharded reduction sum
+        # exactly the same terms as the unsharded engine (test-verified).
+        w = (est.mag >= cfg.min_corr_mag).astype(jnp.float32)
+        is_first_shard = jax.lax.axis_index(TIME_AXIS) == 0
+        w = w.at[0].set(jnp.where(is_first_shard, 0.0, w[0]))
+        q = w * est.mag * est.mag
+        num = jax.lax.psum(jnp.sum(q * est.lag, axis=0), TIME_AXIS)
+        den = jax.lax.psum(jnp.sum(q, axis=0), TIME_AXIS)
+        delay = num / jnp.where(den > 0, den, 1.0)  # [N_loc]
+        delay = jnp.clip(delay, -cfg.max_delay, cfg.max_delay)
+
+        y = jnp.fft.ifft(
+            apply_delay_phase_freq(
+                F_sig, delay[None, :], jnp.ones((), jnp.complex64)
+            ),
+            axis=-1,
+        )
+        out_raw = y[..., L // 2 : L // 2 + L]         # [T_loc, N_loc, L]
+        out_ref = w_ref[..., L // 2 : L // 2 + L]      # [T_loc, L]
+
+        pc_inst = jax.vmap(phase_correction_estimate)(out_raw, out_ref)
+        z = jax.lax.psum(jnp.sum(pc_inst * w, axis=0), TIME_AXIS)  # [N_loc]
+        zmag = jnp.abs(z)
+        pc = (z / jnp.where(zmag > 0, zmag, 1.0)).astype(jnp.complex64)
+
+        aligned = out_raw * pc[None, :, None]
+        delay_blocks = jnp.broadcast_to(delay[None, :], est.lag.shape)
+        return aligned, out_ref, delay_blocks, est.mag
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(TIME_AXIS, CHANNEL_AXIS, None, None),
+            P(TIME_AXIS, None, None),
+        ),
+        out_specs=(
+            P(TIME_AXIS, CHANNEL_AXIS, None),
+            P(TIME_AXIS, None),
+            P(TIME_AXIS, CHANNEL_AXIS),
+            P(TIME_AXIS, CHANNEL_AXIS),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def state_partition_spec():
+    """PartitionSpec pytree for PipelineState sharded over the channel axis
+    (per-channel leaves split; reference history and scalars replicated)."""
+    from coherent_rtlsdr_tpu.pipeline.state import PipelineState
+
+    return PipelineState(
+        delay=P(CHANNEL_AXIS),
+        phase=P(CHANNEL_AXIS, None),
+        lag=P(CHANNEL_AXIS),
+        mag=P(CHANNEL_AXIS),
+        papr=P(CHANNEL_AXIS),
+        synced=P(CHANNEL_AXIS),
+        hist=P(CHANNEL_AXIS, None, None),
+        ref_hist=P(None, None),
+        block_idx=P(),
+    )
+
+
+def make_sharded_step(cfg: PipelineConfig, mesh, donate: bool = True):
+    """Streaming step sharded over the ``channel`` axis (the online path:
+    one block at a time, channels split across chips, reference replicated).
+
+    State must be created with per-shard channel counts consistent with the
+    sharding (init_state(cfg) then device_put with the matching sharding).
+    The per-channel DSP is collective-free; cross-chip traffic is only the
+    replicated L-sample reference block per step.
+    """
+    n_ch_shards = mesh.shape[CHANNEL_AXIS]
+    if cfg.n_channels % n_ch_shards:
+        raise ValueError(
+            f"n_channels={cfg.n_channels} not divisible by channel shards={n_ch_shards}"
+        )
+    local_cfg = PipelineConfig(
+        n_channels=cfg.n_channels // n_ch_shards,
+        block_len=cfg.block_len,
+        fs=cfg.fs,
+        sync_threshold=cfg.sync_threshold,
+        phase_alpha=cfg.phase_alpha,
+        ctrl_gain=cfg.ctrl_gain,
+        ctrl_scale=cfg.ctrl_scale,
+        max_delay=cfg.max_delay,
+        lag_method=cfg.lag_method,
+        min_corr_mag=cfg.min_corr_mag,
+    )
+
+    def local_fn(state, sig_u8, ref_u8, update_gate):
+        return step(local_cfg, state, sig_u8, ref_u8, update_gate)
+
+    # Per-channel state arrays shard over CHANNEL_AXIS on their leading dim;
+    # scalars (block_idx) and the reference history replicate.
+    from coherent_rtlsdr_tpu.pipeline.state import PipelineState
+
+    sspec = state_partition_spec()
+    from coherent_rtlsdr_tpu.pipeline.state import BlockOutput, Telemetry
+
+    tspec = Telemetry(
+        lag=P(CHANNEL_AXIS), residual=P(CHANNEL_AXIS), mag=P(CHANNEL_AXIS),
+        papr=P(CHANNEL_AXIS), phase=P(CHANNEL_AXIS, None), synced=P(CHANNEL_AXIS),
+        rms=P(CHANNEL_AXIS),
+    )
+    ospec = BlockOutput(aligned=P(CHANNEL_AXIS, None), ref=P(None), telemetry=tspec)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(sspec, P(CHANNEL_AXIS, None, None), P(None, None), P()),
+        out_specs=(sspec, ospec),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

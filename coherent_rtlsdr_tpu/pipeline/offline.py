@@ -1,0 +1,154 @@
+"""Offline (capture-at-rest) alignment: the measure -> smooth -> apply engine.
+
+The reference can only process a capture the way the hardware produced it:
+sequentially, one block at a time, with feedback converging over seconds.
+Offline, the sequential dependence is an artifact — only the *smoother* is a
+recurrence, and it is linear. So:
+
+  Phase A (parallel over T x N): window FFTs, lag + quality measurement.
+  Phase B (tiny): smooth the measurement tracks —
+            "global":  quality-weighted average (constant true delays — the
+                       shared-clock case, README.md:40);
+            "ema":     the streaming EMA control law, computed exactly via
+                       ``jax.lax.associative_scan`` (a linear recurrence),
+                       bit-matching what the streaming step would converge to;
+  Phase C (parallel over T x N): fractional advance + phase, overlap-save.
+
+Phases A and C are embarrassingly parallel over (time-blocks x channels) —
+exactly the mesh axes the sharded runner splits (parallel/sharded.py).
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from coherent_rtlsdr_tpu.ops.convert import u8_to_c64
+from coherent_rtlsdr_tpu.ops.delay import apply_delay_phase_freq
+from coherent_rtlsdr_tpu.ops.phase import phase_correction_estimate
+from coherent_rtlsdr_tpu.ops.xcorr import lag_estimate_from_spectra
+from coherent_rtlsdr_tpu.pipeline.state import PipelineConfig
+
+
+class OfflineResult(NamedTuple):
+    aligned: jnp.ndarray   # [T-1, N, L] corrected receive matrix blocks
+    ref: jnp.ndarray       # [T-1, L] reference channel at the same latency
+    lag: jnp.ndarray       # [T-1, N] raw per-block lag measurements
+    delay: jnp.ndarray     # [T-1, N] smoothed applied advance
+    mag: jnp.ndarray       # [T-1, N]
+    papr: jnp.ndarray      # [T-1, N]
+    phase: jnp.ndarray     # [T-1, N] c64 applied phase factors
+
+
+def _ema_scan(x: jnp.ndarray, alpha: float, w: jnp.ndarray) -> jnp.ndarray:
+    """Gated EMA along axis 0 as an associative scan.
+
+    y_t = (1 - a_t) y_{t-1} + a_t x_t with a_t = alpha * w_t (w in [0,1]).
+    Associative combine on (A, B) pairs representing y -> A*y + B.
+    """
+    a = alpha * w
+    A = 1.0 - a
+    B = a * x
+
+    def combine(left, right):
+        A1, B1 = left
+        A2, B2 = right
+        return A1 * A2, A2 * B1 + B2
+
+    _, y = jax.lax.associative_scan(combine, (A, B), axis=0)
+    return y
+
+
+def measure_blocks(cfg: PipelineConfig, F_sig: jnp.ndarray, F_ref: jnp.ndarray):
+    """Phase A measurement on precomputed window spectra.
+
+    F_sig: [T', N, W]; F_ref: [T', W]. Returns (lag, mag, papr) each [T', N].
+    """
+    est = jax.vmap(
+        lambda fs, fr: lag_estimate_from_spectra(fs, fr, method=cfg.lag_method)
+    )(F_sig, F_ref)
+    return est.lag, est.mag, est.papr
+
+
+def smooth_delays(
+    cfg: PipelineConfig,
+    lag: jnp.ndarray,   # [T', N]
+    mag: jnp.ndarray,   # [T', N]
+    smoothing: str,
+) -> jnp.ndarray:
+    """Phase B: turn raw lag measurements into applied advances [T', N]."""
+    w = (mag >= cfg.min_corr_mag).astype(jnp.float32)
+    if smoothing == "global":
+        q = w * mag * mag
+        num = jnp.sum(q * lag, axis=0)
+        den = jnp.sum(q, axis=0)
+        d = num / jnp.where(den > 0, den, 1.0)
+        return jnp.broadcast_to(d[None, :], lag.shape)
+    elif smoothing == "ema":
+        return _ema_scan(lag, cfg.ctrl_gain, w)
+    else:
+        raise ValueError(f"unknown smoothing: {smoothing}")
+
+
+def apply_corrections(
+    cfg: PipelineConfig,
+    F_sig: jnp.ndarray,   # [T', N, W]
+    w_ref: jnp.ndarray,   # [T', W] time-domain reference windows
+    delay: jnp.ndarray,   # [T', N]
+    mag: jnp.ndarray,     # [T', N]
+    smoothing: str,
+    phase_alpha: Optional[float] = None,
+):
+    """Phase C: fractional advance + phase correction, overlap-save slicing."""
+    L = cfg.block_len
+    y = jnp.fft.ifft(
+        apply_delay_phase_freq(F_sig, delay, jnp.ones((), jnp.complex64)), axis=-1
+    )
+    out_raw = y[..., L // 2 : L // 2 + L]             # [T', N, L]
+    out_ref = w_ref[..., L // 2 : L // 2 + L]          # [T', L]
+
+    pc_inst = jax.vmap(phase_correction_estimate)(out_raw, out_ref)  # [T', N]
+    wgt = (mag >= cfg.min_corr_mag).astype(jnp.float32)
+    if smoothing == "global":
+        z = jnp.sum(pc_inst * wgt, axis=0)
+        zmag = jnp.abs(z)
+        pc = jnp.where(zmag > 0, z / jnp.where(zmag > 0, zmag, 1.0), 1.0 + 0j)
+        pc = jnp.broadcast_to(pc[None, :], pc_inst.shape).astype(jnp.complex64)
+    else:
+        alpha = phase_alpha if phase_alpha is not None else cfg.phase_alpha
+        z = _ema_scan(pc_inst, alpha, wgt.astype(jnp.complex64))
+        zmag = jnp.abs(z)
+        pc = (z / jnp.where(zmag > 0, zmag, 1.0)).astype(jnp.complex64)
+
+    aligned = out_raw * pc[..., None]
+    return aligned, out_ref, pc
+
+
+def align_offline(
+    cfg: PipelineConfig,
+    sig_u8: jnp.ndarray,  # [T, N, L, 2] uint8
+    ref_u8: jnp.ndarray,  # [T, L, 2] uint8
+    smoothing: str = "global",
+) -> OfflineResult:
+    """Align a whole capture. Returns T-1 output blocks (block 0 seeds the
+    overlap-save history, like the streaming step's first block)."""
+    sig = u8_to_c64(sig_u8)  # [T, N, L]
+    ref = u8_to_c64(ref_u8)  # [T, L]
+
+    # Streaming windows: w[t] = blocks (t, t+1) concatenated. [T-1, ., 2L]
+    w_sig = jnp.concatenate([sig[:-1], sig[1:]], axis=-1)
+    w_ref = jnp.concatenate([ref[:-1], ref[1:]], axis=-1)
+
+    F_sig = jnp.fft.fft(w_sig, axis=-1)
+    F_ref = jnp.fft.fft(w_ref, axis=-1)
+
+    lag, mag, papr = measure_blocks(cfg, F_sig, F_ref)
+    delay = smooth_delays(cfg, lag, mag, smoothing)
+    delay = jnp.clip(delay, -cfg.max_delay, cfg.max_delay)
+    aligned, out_ref, pc = apply_corrections(
+        cfg, F_sig, w_ref, delay, mag, smoothing
+    )
+    return OfflineResult(
+        aligned=aligned, ref=out_ref, lag=lag, delay=delay, mag=mag, papr=papr,
+        phase=pc,
+    )

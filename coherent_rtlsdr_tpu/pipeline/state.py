@@ -1,0 +1,114 @@
+"""Pipeline state and output containers (all registered pytrees).
+
+``PipelineState`` is the explicit, functional replacement for the state the
+reference scatters across per-device objects and threads:
+
+  reference (include/csdrdevice.h:42-195)            here
+  -------------------------------------------       ---------------------------
+  lagpoint{ts, lag, mag, PAPR}                      Telemetry.lag/mag/papr
+  atomics synced/streaming/lagrequested/lagready    PipelineState.synced (+ gates
+                                                    passed as step arguments)
+  phasecorrection complex + EMA                     PipelineState.phase
+  hardware resampler ppm offset (ccontrol)          PipelineState.delay (samples)
+  sfloat half-buffers                               PipelineState.hist / ref_hist
+  readcnt seqnums                                   PipelineState.block_idx (+
+                                                    host-side seqnum tracking)
+"""
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from coherent_rtlsdr_tpu import constants
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static configuration (hashable; closed over by jit)."""
+
+    n_channels: int
+    block_len: int = constants.DEFAULT_BLOCK_LEN
+    fs: float = constants.DEFAULT_FS
+    sync_threshold: float = constants.SYNC_THRESHOLD
+    phase_alpha: float = constants.PHASE_EMA_ALPHA
+    # Control law (see pipeline/control.py).
+    ctrl_gain: float = constants.CTRL_FRAC_T
+    ctrl_scale: float = constants.CTRL_SCALE
+    # Max commanded advance; must stay within the overlap-save safe range.
+    max_delay: Optional[float] = None
+    # Fractional-lag estimator: "phase_slope" | "parabolic" | "integer".
+    lag_method: str = "phase_slope"
+    # Minimum correlation coefficient to accept a lag measurement.
+    min_corr_mag: float = 0.1
+
+    def __post_init__(self):
+        if self.max_delay is None:
+            object.__setattr__(self, "max_delay", self.block_len / 2.0 - 8.0)
+
+
+class PipelineState(struct.PyTreeNode):
+    """NOTE on dtypes: complex quantities are stored as float32 (re, im)
+    pairs, NOT complex64 — this backend cannot materialize complex buffers
+    at XLA program boundaries (only inside a program). ``f2c``/``c2f``
+    convert at the edges of ``step()``; XLA fuses them away."""
+
+    delay: jnp.ndarray     # [N] f32 commanded advance (samples)
+    phase: jnp.ndarray     # [N, 2] f32 unit-modulus correction factor (re, im)
+    lag: jnp.ndarray       # [N] f32 last measured absolute lag
+    mag: jnp.ndarray       # [N] f32 last correlation coefficient
+    papr: jnp.ndarray      # [N] f32 last correlation PAPR
+    synced: jnp.ndarray    # [N] bool
+    hist: jnp.ndarray      # [N, L, 2] f32 previous block (overlap-save)
+    ref_hist: jnp.ndarray  # [L, 2] f32 previous reference block
+    block_idx: jnp.ndarray  # i32 scalar
+
+    @property
+    def phase_c(self) -> jnp.ndarray:
+        """Complex view of ``phase`` (host/CPU analysis convenience)."""
+        return self.phase[..., 0] + 1j * self.phase[..., 1]
+
+
+class Telemetry(struct.PyTreeNode):
+    """Per-block measurement record — the union of the reference's lagpoint,
+    the :5557 phase-factor debug stream, and the ``status`` table."""
+
+    lag: jnp.ndarray      # [N] absolute measured lag (samples)
+    residual: jnp.ndarray  # [N] lag remaining after the applied correction
+    mag: jnp.ndarray      # [N]
+    papr: jnp.ndarray     # [N]
+    phase: jnp.ndarray    # [N, 2] f32 applied correction factor (re, im)
+    synced: jnp.ndarray   # [N] bool
+    rms: jnp.ndarray      # [N] block RMS (signal health, cf. cdsp::rms)
+
+    @property
+    def phase_c(self) -> jnp.ndarray:
+        return self.phase[..., 0] + 1j * self.phase[..., 1]
+
+
+class BlockOutput(struct.PyTreeNode):
+    """``aligned``/``ref`` are complex64 — valid INSIDE a jitted program and
+    on CPU; TPU callers must reduce them to real dtypes (int8 wire format /
+    float pairs) before returning from jit (see io/server.py, bench.py)."""
+
+    aligned: jnp.ndarray   # [N, L] c64 corrected signal channels
+    ref: jnp.ndarray       # [L] c64 reference channel (same pipeline latency)
+    telemetry: Telemetry
+
+
+def init_state(cfg: PipelineConfig) -> PipelineState:
+    N, L = cfg.n_channels, cfg.block_len
+    phase0 = jnp.zeros((N, 2), jnp.float32).at[:, 0].set(1.0)
+    return PipelineState(
+        delay=jnp.zeros((N,), jnp.float32),
+        phase=phase0,
+        lag=jnp.zeros((N,), jnp.float32),
+        mag=jnp.zeros((N,), jnp.float32),
+        papr=jnp.zeros((N,), jnp.float32),
+        synced=jnp.zeros((N,), bool),
+        hist=jnp.zeros((N, L, 2), jnp.float32),
+        ref_hist=jnp.zeros((L, 2), jnp.float32),
+        block_idx=jnp.zeros((), jnp.int32),
+    )

@@ -1,0 +1,113 @@
+"""Block sources for the streaming server: the device-capture layer
+(crtlsdr/cbuffer, SURVEY.md §3.2) abstracted to "give me the next block of
+every channel".
+
+Sources yield ``(sig_u8 [N, L, 2], ref_u8 [L, 2], seqnums [N] uint32)``.
+Seqnums mirror the reference's per-buffer ``readcnt`` (common.h:114-122);
+the fault-injection hooks simulate the documented stale-buffer/drop failure
+mode (README.md:42) so gap handling is testable — a capability the reference
+lacks entirely.
+"""
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+Block = Tuple[np.ndarray, np.ndarray, np.ndarray]
+
+
+class SyntheticStreamSource:
+    """Streaming wrapper over the synthetic signal model.
+
+    Generates the capture lazily in slabs of ``slab_blocks`` on the accel
+    device, then serves blocks from host memory. ``drop_rate`` injects
+    per-channel block drops (the stale-buffer failure: a channel misses one
+    8192-sample buffer while others advance — README.md:42); dropped blocks
+    repeat the previous block's samples and skip a seqnum.
+    """
+
+    def __init__(
+        self,
+        truth,
+        block_len: int = 8192,
+        slab_blocks: int = 16,
+        seed: int = 0,
+        drop_rate: float = 0.0,
+        refnoise_enabled: bool = True,
+    ):
+        import jax
+
+        from coherent_rtlsdr_tpu.signal.synth import synth_capture
+
+        self._truth = truth
+        self._L = block_len
+        self._slab = slab_blocks
+        self._seed = seed
+        self._drop_rate = drop_rate
+        self._rng = np.random.default_rng(seed + 1)
+        self._synth = synth_capture
+        self._jax = jax
+        self._slab_idx = 0
+        self._blk_in_slab = 0
+        self._sig = None
+        self._ref = None
+        self._seqnums = np.zeros(len(truth.delays), np.uint32)
+        self._prev: Optional[Block] = None
+        self.refnoise_enabled = refnoise_enabled
+
+    def _fill_slab(self):
+        # Generate on host CPU: the source stands in for host-side hardware
+        # capture, and this environment's per-op remote TPU compiles make
+        # eager device-side generation pathological. The TPU only ever sees
+        # the jitted pipeline.
+        cpu = self._jax.devices("cpu")[0]
+        with self._jax.default_device(cpu):
+            key = self._jax.random.PRNGKey(self._seed + 1000 + self._slab_idx)
+            cap = self._synth(
+                key, self._truth, n_blocks=self._slab, block_len=self._L
+            )
+            self._sig = np.asarray(cap.sig_u8)
+            self._ref = np.asarray(cap.ref_u8)
+        self._slab_idx += 1
+        self._blk_in_slab = 0
+
+    def next_block(self) -> Block:
+        if self._sig is None or self._blk_in_slab >= self._slab:
+            self._fill_slab()
+        sig = self._sig[self._blk_in_slab]
+        ref = self._ref[self._blk_in_slab]
+        self._blk_in_slab += 1
+
+        n = sig.shape[0]
+        self._seqnums = self._seqnums + 1
+        if self._drop_rate > 0.0 and self._prev is not None:
+            dropped = self._rng.random(n) < self._drop_rate
+            if dropped.any():
+                sig = sig.copy()
+                sig[dropped] = self._prev[0][dropped]
+                self._seqnums = self._seqnums + dropped.astype(np.uint32)
+        out = (sig, ref, self._seqnums.copy())
+        self._prev = out
+        return out
+
+
+class FileSource:
+    """Replays a recorded capture (io/streamio.py), optionally looping."""
+
+    def __init__(self, capture, loop: bool = False):
+        self._cap = capture
+        self._loop = loop
+        self._t = 0
+
+    def next_block(self) -> Optional[Block]:
+        if self._t >= self._cap.n_blocks:
+            if not self._loop:
+                return None
+            self._t = 0
+        t = self._t
+        self._t += 1
+        return (
+            self._cap.sig_u8[t],
+            self._cap.ref_u8[t],
+            self._cap.seqnums[t].astype(np.uint32),
+        )

@@ -1,0 +1,106 @@
+"""Sharding tests on the 8-virtual-device CPU mesh: the sharded engines must
+match the unsharded ones (the collectives are an implementation detail, not a
+numerical one)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from coherent_rtlsdr_tpu.parallel import make_mesh, make_sharded_align, make_sharded_step
+from coherent_rtlsdr_tpu.parallel.mesh import CHANNEL_AXIS, TIME_AXIS, auto_mesh_shape
+from coherent_rtlsdr_tpu.pipeline import PipelineConfig, align_offline, init_state, step
+from coherent_rtlsdr_tpu.signal import make_truth, synth_capture
+
+L = 1024
+
+
+def _capture(n_channels=8, n_blocks=8, seed=0):
+    truth = make_truth(n_channels, seed=seed, max_delay=30.0, snr_db=30.0)
+    cap = synth_capture(
+        jax.random.PRNGKey(seed), truth, n_blocks=n_blocks, block_len=L
+    )
+    return truth, cap
+
+
+class TestMesh:
+    def test_auto_mesh_shape(self):
+        assert auto_mesh_shape(8, 24) == (1, 8)
+        assert auto_mesh_shape(8, 21) == (8, 1)
+        assert auto_mesh_shape(4, 8) == (1, 4)
+        t, c = auto_mesh_shape(8)
+        assert t * c == 8
+
+
+class TestShardedAlign:
+    def test_matches_unsharded(self):
+        truth, cap = _capture(n_channels=8, n_blocks=8)
+        cfg = PipelineConfig(n_channels=8, block_len=L)
+
+        mesh = make_mesh(4, 2)
+        fn = make_sharded_align(cfg, mesh)
+        aligned_s, ref_s, delay_s, mag_s = jax.block_until_ready(
+            fn(cap.sig_u8, cap.ref_u8)
+        )
+
+        res = align_offline(cfg, cap.sig_u8, cap.ref_u8, smoothing="global")
+
+        # Sharded emits T blocks; block t>=1 corresponds to unsharded t-1.
+        np.testing.assert_allclose(
+            np.asarray(delay_s[1:]), np.asarray(res.delay), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(aligned_s[1:]), np.asarray(res.aligned), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref_s[1:]), np.asarray(res.ref), atol=1e-5
+        )
+
+    def test_recovers_truth(self):
+        truth, cap = _capture(n_channels=4, n_blocks=8, seed=2)
+        cfg = PipelineConfig(n_channels=4, block_len=L)
+        mesh = make_mesh(2, 4)
+        fn = make_sharded_align(cfg, mesh)
+        aligned, ref, delay, mag = jax.block_until_ready(
+            fn(cap.sig_u8, cap.ref_u8)
+        )
+        np.testing.assert_allclose(np.asarray(delay[-1]), truth.delays, atol=0.05)
+
+    def test_rejects_ema(self):
+        cfg = PipelineConfig(n_channels=4, block_len=L)
+        with pytest.raises(NotImplementedError):
+            make_sharded_align(cfg, make_mesh(2, 4), smoothing="ema")
+
+
+class TestShardedStep:
+    def test_matches_unsharded_step(self):
+        truth, cap = _capture(n_channels=8, n_blocks=4, seed=1)
+        cfg = PipelineConfig(n_channels=8, block_len=L)
+        mesh = make_mesh(1, 4)
+        gate = jnp.array(True)
+
+        sfn = make_sharded_step(cfg, mesh, donate=False)
+        from coherent_rtlsdr_tpu.parallel.sharded import state_partition_spec
+
+        sspec = state_partition_spec()
+        state_s = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            init_state(cfg),
+            sspec,
+        )
+        state_u = init_state(cfg)
+
+        for t in range(4):
+            state_s, out_s = sfn(state_s, cap.sig_u8[t], cap.ref_u8[t], gate)
+            state_u, out_u = step(cfg, state_u, cap.sig_u8[t], cap.ref_u8[t], gate)
+
+        np.testing.assert_allclose(
+            np.asarray(state_s.delay), np.asarray(state_u.delay), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(state_s.phase), np.asarray(state_u.phase), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s.aligned), np.asarray(out_u.aligned), atol=1e-3
+        )
