@@ -39,7 +39,13 @@ def main():
     ap.add_argument("--state", default=None, help="calibration checkpoint npz")
     ap.add_argument("--drop-rate", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true", help="run the pipeline on host CPU")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from coherent_rtlsdr_tpu.io.config import read_config, signal_channels
     from coherent_rtlsdr_tpu.io.server import CoherentServer

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""MUSIC heatmap client — the beamformclient/heatmap2d2.cpp analog.
+
+Subscribes to the aligned-frame stream (:5555, reference wire format),
+accumulates snapshots, and computes a MUSIC (or Bartlett/MVDR) pseudospectrum
+heatmap over the (u, v) direction-cosine grid; saves .npy and prints an
+ASCII rendering.
+
+Usage:
+  python apps/music_client.py -a tcp://127.0.0.1:5555 --rows 7 --cols 3 \
+      --frames 16 --sources 1 -o heatmap.npy
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def ascii_heatmap(P, width=60, height=24):
+    import numpy as np
+
+    h, w = P.shape
+    ys = np.linspace(0, h - 1, height).astype(int)
+    xs = np.linspace(0, w - 1, width).astype(int)
+    Q = 10 * np.log10(P[np.ix_(ys, xs)] / P.max() + 1e-12)
+    chars = " .:-=+*#%@"
+    lo, hi = -30.0, 0.0
+    idx = ((Q - lo) / (hi - lo) * (len(chars) - 1)).clip(0, len(chars) - 1)
+    return "\n".join("".join(chars[int(c)] for c in row) for row in idx)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-a", "--address", default="tcp://127.0.0.1:5555")
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--rows", type=int, default=7)
+    ap.add_argument("--cols", type=int, default=3)
+    ap.add_argument("--spacing", type=float, default=0.5)
+    ap.add_argument("--sources", type=int, default=1)
+    ap.add_argument("--method", choices=["music", "bartlett", "mvdr"], default="music")
+    ap.add_argument("--grid", type=int, default=100)
+    ap.add_argument("-o", "--out", default="heatmap.npy")
+    ap.add_argument("--timeout-ms", type=int, default=600000)
+    args = ap.parse_args()
+
+    import numpy as np
+    import zmq
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # client-side math is small
+    import jax.numpy as jnp
+
+    from coherent_rtlsdr_tpu.io.wire import frame_to_matrix, unpack_frame
+    from coherent_rtlsdr_tpu.models import (
+        bartlett_spectrum,
+        music_spectrum,
+        mvdr_spectrum,
+        sample_covariance,
+        steering_vectors,
+        ura_positions,
+        uv_grid,
+    )
+
+    ctx = zmq.Context()
+    sub = ctx.socket(zmq.SUB)
+    sub.setsockopt(zmq.SUBSCRIBE, b"")
+    sub.setsockopt(zmq.RCVTIMEO, args.timeout_ms)
+    sub.connect(args.address)
+
+    snaps = []
+    for i in range(args.frames):
+        frame = unpack_frame(sub.recv())
+        X = frame_to_matrix(frame)  # [N, L]; channel 0 = reference
+        snaps.append(X[1:])         # beamform the signal channels
+    X = np.concatenate(snaps, axis=-1)  # [N-1, frames*L]
+    n = X.shape[0]
+    if n != args.rows * args.cols:
+        print(f"warning: {n} channels != {args.rows}x{args.cols} array")
+
+    pos = ura_positions(args.rows, args.cols, args.spacing)[:n]
+    uv, ax = uv_grid(args.grid)
+    A = steering_vectors(pos, uv)
+    R = sample_covariance(jnp.asarray(X))
+    if args.method == "music":
+        P = music_spectrum(R, A, args.sources)
+    elif args.method == "bartlett":
+        P = bartlett_spectrum(R, A)
+    else:
+        P = mvdr_spectrum(R, A)
+    P = np.asarray(P).reshape(args.grid, args.grid)
+
+    np.save(args.out, P)
+    i = int(P.argmax())
+    u, v = float(np.asarray(ax)[i % args.grid]), float(np.asarray(ax)[i // args.grid])
+    print(ascii_heatmap(P))
+    print(f"peak at (u, v) = ({u:+.3f}, {v:+.3f}); saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,24 @@ from coherent_rtlsdr_tpu.io.console import ConsoleDispatcher
 from coherent_rtlsdr_tpu.pipeline.state import PipelineConfig, PipelineState
 
 
+def _make_publisher(data_addr: str, debug_addr: str, header: bool):
+    """Prefer the native C++ packetizer/publisher (zero Python in the frame
+    assembly + send path); fall back to the pyzmq implementation."""
+    try:
+        from coherent_rtlsdr_tpu import native
+
+        if native.available():
+            return native.NativePublisher(
+                data_addr.replace("*", "0.0.0.0"), debug_addr.replace("*", "0.0.0.0"),
+                header=header,
+            )
+    except Exception:
+        pass
+    from coherent_rtlsdr_tpu.io.zmq_edge import FramePublisher
+
+    return FramePublisher(data_addr=data_addr, debug_addr=debug_addr, header=header)
+
+
 class CoherentServer:
     def __init__(
         self,
@@ -58,13 +76,12 @@ class CoherentServer:
         self._resync_requested = False
         self._log_lines = []
 
-        if publisher is None or control is None:
-            from coherent_rtlsdr_tpu.io.zmq_edge import ControlServer, FramePublisher
+        if publisher is None:
+            publisher = _make_publisher(data_addr, debug_addr, header)
+        if control is None:
+            from coherent_rtlsdr_tpu.io.zmq_edge import ControlServer
 
-            publisher = publisher or FramePublisher(
-                data_addr=data_addr, debug_addr=debug_addr, header=header
-            )
-            control = control or ControlServer(ctrl_addr)
+            control = ControlServer(ctrl_addr)
         self.publisher = publisher
         self.control = control
         self.dispatcher = ConsoleDispatcher(self)

@@ -1,0 +1,195 @@
+"""ctypes bindings for the native host-edge runtime (native/coherent_host.cc).
+
+The native library provides the C++ pieces the reference implements natively
+(SURVEY.md §2.1): the capture block ring, the wire-frame packetizer/ZMQ
+publisher, and the int8 conversion hot loops. Python falls back to the pure
+implementations (io/wire.py + pyzmq) when the library is absent — build it
+with ``make -C native``.
+"""
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "_native", "libcoherent_host.so"
+)
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        raise RuntimeError(
+            f"native library not built: {_LIB_PATH} (run `make -C native`)"
+        )
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.chost_ring_create.restype = ctypes.c_void_p
+    lib.chost_ring_create.argtypes = [ctypes.c_uint32, ctypes.c_uint32]
+    lib.chost_ring_destroy.argtypes = [ctypes.c_void_p]
+    lib.chost_ring_push.restype = ctypes.c_int64
+    lib.chost_ring_push.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64,
+    ]
+    lib.chost_ring_pop.restype = ctypes.c_int
+    lib.chost_ring_pop.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int,
+    ]
+    lib.chost_ring_dropped.restype = ctypes.c_uint64
+    lib.chost_ring_dropped.argtypes = [ctypes.c_void_p]
+    lib.chost_ring_fill.restype = ctypes.c_uint32
+    lib.chost_ring_fill.argtypes = [ctypes.c_void_p]
+    lib.chost_requantize_i8.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_float,
+    ]
+    lib.chost_dequantize_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+    ]
+    lib.chost_zmq_available.restype = ctypes.c_int
+    lib.chost_pub_create.restype = ctypes.c_void_p
+    lib.chost_pub_create.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+    lib.chost_pub_destroy.argtypes = [ctypes.c_void_p]
+    lib.chost_pub_send.restype = ctypes.c_int64
+    lib.chost_pub_send.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.chost_pub_gseq.restype = ctypes.c_uint32
+    lib.chost_pub_gseq.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except RuntimeError:
+        return False
+
+
+class NativeBlockRing:
+    """SPSC block ring (owned-slot copies; no stale-buffer race class)."""
+
+    def __init__(self, nslots_pow2: int, block_bytes: int):
+        lib = _load()
+        self._lib = lib
+        self._block_bytes = block_bytes
+        self._ptr = lib.chost_ring_create(nslots_pow2, block_bytes)
+        if not self._ptr:
+            raise ValueError("nslots must be a power of two")
+
+    def push(self, block: np.ndarray, seqnum: int) -> int:
+        b = np.ascontiguousarray(block).view(np.uint8).reshape(-1)
+        assert b.nbytes == self._block_bytes, (b.nbytes, self._block_bytes)
+        return self._lib.chost_ring_push(
+            self._ptr, b.ctypes.data_as(ctypes.c_char_p), seqnum
+        )
+
+    def pop(self, timeout_ms: int = 0) -> Optional[Tuple[np.ndarray, int, int]]:
+        out = np.empty(self._block_bytes, np.uint8)
+        seq = ctypes.c_uint64()
+        ts = ctypes.c_int64()
+        ok = self._lib.chost_ring_pop(
+            self._ptr, out.ctypes.data_as(ctypes.c_char_p),
+            ctypes.byref(seq), ctypes.byref(ts), timeout_ms,
+        )
+        if not ok:
+            return None
+        return out, seq.value, ts.value
+
+    @property
+    def dropped(self) -> int:
+        return self._lib.chost_ring_dropped(self._ptr)
+
+    @property
+    def fill(self) -> int:
+        return self._lib.chost_ring_fill(self._ptr)
+
+    def __del__(self):
+        if getattr(self, "_ptr", None):
+            self._lib.chost_ring_destroy(self._ptr)
+            self._ptr = None
+
+
+class NativePublisher:
+    """Frame assembly + ZMQ PUB in native code (cpacketize::send analog)."""
+
+    def __init__(self, data_addr: str, debug_addr: str = "", header: bool = True):
+        lib = _load()
+        if not lib.chost_zmq_available():
+            raise RuntimeError("libzmq not found by native publisher")
+        self._lib = lib
+        self._ptr = lib.chost_pub_create(
+            data_addr.encode(), debug_addr.encode(), 1 if header else 0
+        )
+        if not self._ptr:
+            raise RuntimeError(f"could not bind {data_addr}")
+
+    def publish(
+        self,
+        iq_i8: np.ndarray,            # [N, L, 2] int8
+        seqnums: np.ndarray,          # [N] uint32
+        phases: Optional[np.ndarray] = None,  # [N] complex64
+    ) -> int:
+        iq = np.ascontiguousarray(iq_i8, np.int8)
+        n, l, _ = iq.shape
+        seq = np.ascontiguousarray(seqnums, np.uint32)
+        ph = (
+            np.ascontiguousarray(phases, np.complex64).view(np.float32)
+            if phases is not None
+            else None
+        )
+        rc = self._lib.chost_pub_send(
+            self._ptr, n, l,
+            seq.ctypes.data_as(ctypes.c_void_p),
+            iq.ctypes.data_as(ctypes.c_void_p),
+            ph.ctypes.data_as(ctypes.c_void_p) if ph is not None else None,
+        )
+        if rc < 0:
+            raise RuntimeError("zmq send failed")
+        return int(rc)
+
+    @property
+    def globalseqn(self) -> int:
+        return self._lib.chost_pub_gseq(self._ptr)
+
+    def close(self):
+        if getattr(self, "_ptr", None):
+            self._lib.chost_pub_destroy(self._ptr)
+            self._ptr = None
+
+    def __del__(self):
+        self.close()
+
+
+def requantize_i8(x: np.ndarray, scale: float = 127.0) -> np.ndarray:
+    """float32 array -> int8 with saturation (native hot loop)."""
+    lib = _load()
+    xf = np.ascontiguousarray(x, np.float32)
+    out = np.empty(xf.shape, np.int8)
+    lib.chost_requantize_i8(
+        xf.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        xf.size, scale,
+    )
+    return out
+
+
+def dequantize_u8(x: np.ndarray) -> np.ndarray:
+    """uint8 offset-binary -> float32 * 1/127 (native hot loop)."""
+    lib = _load()
+    xu = np.ascontiguousarray(x, np.uint8)
+    out = np.empty(xu.shape, np.float32)
+    lib.chost_dequantize_u8(
+        xu.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        xu.size,
+    )
+    return out

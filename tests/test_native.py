@@ -1,0 +1,126 @@
+"""Native host-runtime tests: ring buffer semantics, wire parity between the
+native packetizer and the Python reference implementation, and conversion
+hot loops. Skipped when the library isn't built (`make -C native`)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from coherent_rtlsdr_tpu import native
+from coherent_rtlsdr_tpu.io.wire import pack_frame, unpack_frame
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built (make -C native)"
+)
+
+
+class TestRing:
+    def test_push_pop_fifo(self):
+        ring = native.NativeBlockRing(8, 64)
+        for i in range(5):
+            blk = np.full(64, i, np.uint8)
+            assert ring.push(blk, seqnum=100 + i) >= 0
+        assert ring.fill == 5
+        for i in range(5):
+            out, seq, ts = ring.pop()
+            assert seq == 100 + i
+            assert out[0] == i
+            assert ts > 0
+        assert ring.pop() is None
+
+    def test_overflow_drops(self):
+        ring = native.NativeBlockRing(4, 16)
+        blk = np.zeros(16, np.uint8)
+        for i in range(4):
+            assert ring.push(blk, i) >= 0
+        assert ring.push(blk, 99) == -1  # full -> drop, counted
+        assert ring.dropped == 1
+
+    def test_blocking_pop(self):
+        ring = native.NativeBlockRing(4, 16)
+        result = {}
+
+        def consumer():
+            result["blk"] = ring.pop(timeout_ms=2000)
+
+        t = threading.Thread(target=consumer)
+        t.start()
+        time.sleep(0.05)
+        ring.push(np.arange(16, dtype=np.uint8), 7)
+        t.join()
+        assert result["blk"] is not None
+        out, seq, _ = result["blk"]
+        assert seq == 7 and out[3] == 3
+
+    def test_rejects_non_pow2(self):
+        with pytest.raises(ValueError):
+            native.NativeBlockRing(3, 16)
+
+
+class TestConvert:
+    def test_requantize_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 0.5, 4096).astype(np.float32)
+        out = native.requantize_i8(x, 127.0)
+        expect = np.clip(np.rint(x * 127.0), -128, 127).astype(np.int8)
+        np.testing.assert_array_equal(out, expect)
+
+    def test_dequantize_matches_formula(self):
+        x = np.arange(256, dtype=np.uint8)
+        out = native.dequantize_u8(x)
+        expect = (x.astype(np.float32) - 128.0) / 127.0
+        np.testing.assert_allclose(out, expect, rtol=1e-6)
+
+    def test_roundtrip(self):
+        rng = np.random.default_rng(1)
+        u8 = rng.integers(0, 256, 1024, dtype=np.uint8)
+        f = native.dequantize_u8(u8)
+        back = native.requantize_i8(f, 127.0)
+        expect = (u8.astype(np.int16) - 128).astype(np.int8)
+        np.testing.assert_array_equal(back, expect)
+
+
+class TestNativePublisher:
+    def test_wire_parity_with_python(self):
+        """Frame bytes from the native packetizer must equal io/wire.py's."""
+        import zmq
+
+        rng = np.random.default_rng(2)
+        iq = rng.integers(-128, 128, (3, 32, 2)).astype(np.int8)
+        seqnums = np.array([5, 6, 7], np.uint32)
+        phases = np.exp(1j * np.array([0.1, 0.2, 0.3])).astype(np.complex64)
+
+        ctx = zmq.Context()
+        sub = ctx.socket(zmq.SUB)
+        sub.setsockopt(zmq.SUBSCRIBE, b"")
+        sub.setsockopt(zmq.RCVTIMEO, 5000)
+        dbg = ctx.socket(zmq.SUB)
+        dbg.setsockopt(zmq.SUBSCRIBE, b"")
+        dbg.setsockopt(zmq.RCVTIMEO, 5000)
+
+        pub = native.NativePublisher(
+            "tcp://127.0.0.1:17555", "tcp://127.0.0.1:17557"
+        )
+        sub.connect("tcp://127.0.0.1:17555")
+        dbg.connect("tcp://127.0.0.1:17557")
+        time.sleep(0.3)  # PUB/SUB join
+
+        n = pub.publish(iq, seqnums, phases)
+        buf = sub.recv()
+        assert len(buf) == n
+        assert buf == pack_frame(0, seqnums, iq)
+        frame = unpack_frame(buf)
+        np.testing.assert_array_equal(frame.iq, iq)
+        np.testing.assert_array_equal(frame.seqnums, seqnums)
+
+        dbuf = dbg.recv()
+        np.testing.assert_array_equal(
+            np.frombuffer(dbuf, np.complex64), phases
+        )
+
+        pub.publish(iq, seqnums, phases)
+        f2 = unpack_frame(sub.recv())
+        assert f2.globalseqn == 1  # gseq increments
+        pub.close()

@@ -1,0 +1,153 @@
+"""Streaming-server tests with in-memory publisher/control (no sockets):
+orchestration, checkpoint/resume, fault injection — the subsystems the
+reference lacks or leaves manual (SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from coherent_rtlsdr_tpu.io.refnoise import RefNoise
+from coherent_rtlsdr_tpu.io.server import CoherentServer
+from coherent_rtlsdr_tpu.io.streamio import detect_seqnum_gaps
+from coherent_rtlsdr_tpu.pipeline import PipelineConfig
+from coherent_rtlsdr_tpu.signal import make_truth
+from coherent_rtlsdr_tpu.signal.sources import SyntheticStreamSource
+
+L = 1024
+
+
+class FakePublisher:
+    def __init__(self):
+        self.frames = []
+
+    def publish(self, iq_i8, seqnums, phases=None):
+        self.frames.append((np.array(iq_i8), np.array(seqnums),
+                            None if phases is None else np.array(phases)))
+        return iq_i8.size
+
+
+class FakeControl:
+    def __init__(self):
+        self.queue = []
+
+    def poll(self, handler, timeout_ms=0):
+        n = 0
+        while self.queue:
+            handler(self.queue.pop(0))
+            n += 1
+        return n
+
+
+def _server(n=3, state_path=None, drop_rate=0.0, seed=0):
+    truth = make_truth(n, seed=seed, max_delay=20.0, snr_db=30.0)
+    src = SyntheticStreamSource(
+        truth, block_len=L, slab_blocks=8, seed=seed, drop_rate=drop_rate
+    )
+    cfg = PipelineConfig(n_channels=n, block_len=L)
+    pub, ctl = FakePublisher(), FakeControl()
+    srv = CoherentServer(
+        cfg, src, publisher=pub, control=ctl, state_path=state_path
+    )
+    return srv, pub, ctl, truth
+
+
+class TestServerLoop:
+    def test_publishes_frames_with_ref_channel(self):
+        srv, pub, _, truth = _server()
+        srv.run(max_blocks=6)
+        assert len(pub.frames) == 6
+        iq, seqs, phases = pub.frames[-1]
+        assert iq.shape == (4, L, 2) and iq.dtype == np.int8  # ref + 3 sig
+        assert seqs.shape == (4,)
+        assert phases is not None and phases.shape == (4,)
+        assert phases[0] == 1.0 + 0j  # ref channel phase placeholder
+        assert np.allclose(np.abs(phases[1:]), 1.0, atol=1e-5)
+
+    def test_converges_and_status(self):
+        srv, pub, _, truth = _server()
+        srv.run(max_blocks=10)
+        st = srv.status()
+        assert "3 / 3 synchronized" in st
+        np.testing.assert_allclose(
+            np.asarray(srv.state.delay), truth.delays, atol=0.05
+        )
+
+    def test_console_commands_through_dispatcher(self):
+        srv, pub, ctl, _ = _server()
+        ctl.queue.append("request rd")
+        srv.run(max_blocks=2)
+        assert srv.refnoise_enabled is False
+        ctl.queue.append("request re")
+        ctl.queue.append("fcenter 868000000")
+        srv.run(max_blocks=2)
+        assert srv.refnoise_enabled is True
+        assert srv.fcenter == 868000000
+        ctl.queue.append("quit")
+        n = srv.run(max_blocks=10)
+        assert n <= 1  # quit processed after first block
+
+    def test_resync_request_clears_sync(self):
+        srv, pub, ctl, _ = _server()
+        srv.run(max_blocks=8)
+        assert bool(np.all(np.asarray(srv.state.synced)))
+        srv.request_sync()
+        srv.run(max_blocks=1)
+        # resync flag clears sync then re-evaluates within the same block —
+        # with good signal it re-syncs immediately, but delay survived:
+        np.testing.assert_allclose(
+            np.asarray(srv.state.delay), np.asarray(srv.state.lag), atol=0.5
+        )
+
+
+class TestCheckpointResume:
+    def test_state_roundtrip(self, tmp_path):
+        path = str(tmp_path / "calib.npz")
+        srv, _, _, truth = _server(state_path=path)
+        srv.run(max_blocks=8)  # saves at end of run
+        delay0 = np.asarray(srv.state.delay).copy()
+
+        srv2, _, _, _ = _server(state_path=path)
+        np.testing.assert_allclose(np.asarray(srv2.state.delay), delay0)
+        assert bool(np.all(np.asarray(srv2.state.synced)))
+        # resumed server is immediately aligned (no re-acquisition)
+        srv2.run(max_blocks=2)
+        np.testing.assert_allclose(
+            np.asarray(srv2.state.delay), truth.delays, atol=0.05
+        )
+
+
+class TestFaultInjection:
+    def test_drop_rate_creates_seqnum_gaps(self):
+        srv, pub, _, _ = _server(drop_rate=0.3, seed=5)
+        srv.run(max_blocks=12)
+        seqs = np.stack([f[1][1:] for f in pub.frames])  # signal channels
+        gaps = detect_seqnum_gaps(seqs)
+        assert gaps.sum() > 0  # drops visible to clients via seqnums
+
+    def test_pipeline_survives_drops(self):
+        srv, pub, _, truth = _server(drop_rate=0.15, seed=7)
+        srv.run(max_blocks=16)
+        # quality-gated control should still find the true delays
+        np.testing.assert_allclose(
+            np.asarray(srv.state.delay), truth.delays, atol=0.6
+        )
+
+
+class TestRefNoise:
+    def test_simulation_mode(self):
+        rn = RefNoise(device=None)
+        assert rn.isenabled
+        rn.set_state(False)
+        assert not rn.isenabled
+        rn.close()
+
+    def test_char_protocol(self, tmp_path):
+        """Host chars written to the device: 'x' enable, 'o' disable
+        (crefnoise.h:30-38), 'F'/'f' fan (fw.c:311-333)."""
+        dev = tmp_path / "ttyACM0"
+        dev.write_bytes(b"")
+        rn = RefNoise(device=str(dev), enable_on_open=True)
+        rn.set_state(False)
+        rn.set_fan(True)
+        rn.set_fan(False)
+        rn.close()
+        assert dev.read_bytes() == b"xoFf"
