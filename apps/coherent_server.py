@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--drop-rate", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true", help="run the pipeline on host CPU")
+    ap.add_argument(
+        "--scan-depth", type=int, default=1,
+        help="blocks per device dispatch (throughput mode; adds latency)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -85,6 +89,7 @@ def main():
         debug_addr=args.debug_address,
         header=not args.raw,
         state_path=args.state,
+        scan_depth=args.scan_depth,
     )
     print(
         f"coherent_rtlsdr_tpu server: {n} ch x {args.blocksize} @ {args.fs:.0f} "

@@ -57,6 +57,7 @@ class CoherentServer:
         state_path: Optional[str] = None,
         publisher=None,
         control=None,
+        scan_depth: int = 1,
     ):
         import jax
         import jax.numpy as jnp
@@ -93,6 +94,12 @@ class CoherentServer:
             return new_state, wire_sig, wire_ref, out.telemetry
 
         self._step = jax.jit(_step, donate_argnums=(0,))
+        self.scan_depth = int(scan_depth)
+        self._scan = None
+        if self.scan_depth > 1:
+            from coherent_rtlsdr_tpu.pipeline.drivers import make_scan_runner
+
+            self._scan = make_scan_runner(cfg, emit_wire=True, donate=True)
         self.state: PipelineState = init_state(cfg)
         if state_path and os.path.exists(state_path):
             self.restore_state(state_path)
@@ -131,16 +138,17 @@ class CoherentServer:
     # ---- main loop -------------------------------------------------------
 
     def run(self, max_blocks: Optional[int] = None) -> int:
-        """Returns the number of blocks published."""
+        """Returns the number of blocks published.
+
+        With ``scan_depth > 1`` the loop gathers that many source blocks and
+        runs them through one lax.scan dispatch (pipeline/drivers.py) —
+        amortizing device round-trip latency — then publishes each frame.
+        """
         jnp = self._jnp
         n = 0
         while not self._do_exit:
             if max_blocks is not None and n >= max_blocks:
                 break
-            blk = self.source.next_block()
-            if blk is None:
-                break
-            sig_u8, ref_u8, seqnums = blk
 
             if self._resync_requested:
                 self.state = self.state.replace(
@@ -149,23 +157,60 @@ class CoherentServer:
                 self._resync_requested = False
 
             gate = jnp.array(self.refnoise_enabled)
-            self.state, wire_sig, wire_ref, telem = self._step(
-                self.state, jnp.asarray(sig_u8), jnp.asarray(ref_u8), gate
-            )
+            k = 1
+            if self._scan is not None:
+                k = self.scan_depth
+                if max_blocks is not None:
+                    k = min(k, max_blocks - n)
+            blocks = []
+            for _ in range(k):
+                blk = self.source.next_block()
+                if blk is None:
+                    break
+                blocks.append(blk)
+            if not blocks:
+                break
 
-            # Frame layout: channel 0 = reference (cpacketizer write order,
-            # ccoherent.cc:253). Phases on the debug port.
-            frame = np.concatenate(
-                [np.asarray(wire_ref)[None], np.asarray(wire_sig)], axis=0
-            )
-            ref_seq = np.asarray(self.state.block_idx, np.uint32).reshape(1)
-            all_seq = np.concatenate([ref_seq, seqnums.astype(np.uint32)])
-            phases = np.concatenate(
-                [np.ones(1, np.complex64), self._fetch_phases(telem)]
-            )
-            self.publisher.publish(frame, all_seq, phases)
+            if self._scan is not None and len(blocks) > 1:
+                sigs = jnp.asarray(np.stack([b[0] for b in blocks]))
+                refs = jnp.asarray(np.stack([b[1] for b in blocks]))
+                self.state, (wire_sigs, wire_refs), telem = self._scan(
+                    self.state, sigs, refs, gate
+                )
+                ws = np.asarray(wire_sigs)
+                wr = np.asarray(wire_refs)
+                ph = np.asarray(telem.phase, np.float32)
+                base_idx = int(np.asarray(self.state.block_idx)) - len(blocks)
+                for i, (_, _, seqnums) in enumerate(blocks):
+                    frame = np.concatenate([wr[i][None], ws[i]], axis=0)
+                    ref_seq = np.asarray([base_idx + i + 1], np.uint32)
+                    all_seq = np.concatenate([ref_seq, seqnums.astype(np.uint32)])
+                    phases = np.concatenate(
+                        [
+                            np.ones(1, np.complex64),
+                            (ph[i, :, 0] + 1j * ph[i, :, 1]).astype(np.complex64),
+                        ]
+                    )
+                    self.publisher.publish(frame, all_seq, phases)
+                    n += 1
+            else:
+                for sig_u8, ref_u8, seqnums in blocks:
+                    self.state, wire_sig, wire_ref, telem = self._step(
+                        self.state, jnp.asarray(sig_u8), jnp.asarray(ref_u8), gate
+                    )
+                    # Frame layout: channel 0 = reference (cpacketizer write
+                    # order, ccoherent.cc:253). Phases on the debug port.
+                    frame = np.concatenate(
+                        [np.asarray(wire_ref)[None], np.asarray(wire_sig)], axis=0
+                    )
+                    ref_seq = np.asarray(self.state.block_idx, np.uint32).reshape(1)
+                    all_seq = np.concatenate([ref_seq, seqnums.astype(np.uint32)])
+                    phases = np.concatenate(
+                        [np.ones(1, np.complex64), self._fetch_phases(telem)]
+                    )
+                    self.publisher.publish(frame, all_seq, phases)
+                    n += 1
             self.control.poll(self.dispatcher.dispatch)
-            n += 1
         if self.state_path:
             self.save_state()
         return n

@@ -1,0 +1,59 @@
+"""Block-stream drivers around ``step``.
+
+* ``make_scan_runner``: K blocks per dispatch via ``lax.scan`` — the
+  production streaming mode. One device round-trip per K blocks amortizes
+  dispatch latency (measured ~0.5 ms per call through this environment's
+  device relay) at the cost of K blocks of latency (K=8 at 2.048 Msps /
+  L=8192 is 32 ms — far below the reference's seconds-long hardware sync
+  transients, ccontrol.cc:99-116).
+* ``run_capture``: convenience — scan a whole in-memory capture with
+  streaming semantics (exact EMA/control dynamics, unlike the offline
+  engine's parallel smoother).
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from coherent_rtlsdr_tpu.ops.convert import c64_to_i8_iq
+from coherent_rtlsdr_tpu.pipeline.state import PipelineConfig, PipelineState
+from coherent_rtlsdr_tpu.pipeline.step import step
+
+
+def make_scan_runner(cfg: PipelineConfig, emit_wire: bool = True, donate: bool = True):
+    """Returns jitted ``run(state, sig_u8 [K,N,L,2], ref_u8 [K,L,2], gate)``
+    -> ``(state, outputs)`` where outputs are stacked over K: int8 wire
+    blocks (or raw aligned float pairs) + telemetry."""
+
+    def scan_fn(state, sigs, refs, gate):
+        def body(s, blk):
+            s2, out = step(cfg, s, blk[0], blk[1], gate)
+            if emit_wire:
+                payload = (c64_to_i8_iq(out.aligned), c64_to_i8_iq(out.ref))
+            else:
+                from coherent_rtlsdr_tpu.ops.convert import c2f
+
+                payload = (c2f(out.aligned), c2f(out.ref))
+            return s2, (payload, out.telemetry)
+
+        state, (payloads, telem) = jax.lax.scan(body, state, (sigs, refs))
+        return state, payloads, telem
+
+    return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
+
+
+def run_capture(
+    cfg: PipelineConfig,
+    state: PipelineState,
+    sig_u8: jnp.ndarray,  # [T, N, L, 2]
+    ref_u8: jnp.ndarray,  # [T, L, 2]
+    gate: bool = True,
+) -> Tuple[PipelineState, jnp.ndarray, jnp.ndarray, object]:
+    """Streaming-exact processing of a whole capture in one program."""
+    runner = make_scan_runner(cfg, emit_wire=True, donate=False)
+    state, (wire_sig, wire_ref), telem = runner(
+        state, sig_u8, ref_u8, jnp.array(gate)
+    )
+    return state, wire_sig, wire_ref, telem
