@@ -23,10 +23,9 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from coherent_rtlsdr_tpu.kernels.backend import get_spectral
 from coherent_rtlsdr_tpu.ops.convert import u8_to_c64
-from coherent_rtlsdr_tpu.ops.delay import apply_delay_phase_freq
 from coherent_rtlsdr_tpu.ops.phase import phase_correction_estimate
-from coherent_rtlsdr_tpu.ops.xcorr import lag_estimate_from_spectra
 from coherent_rtlsdr_tpu.pipeline.state import PipelineConfig
 
 
@@ -59,13 +58,15 @@ def _ema_scan(x: jnp.ndarray, alpha: float, w: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def measure_blocks(cfg: PipelineConfig, F_sig: jnp.ndarray, F_ref: jnp.ndarray):
+def measure_blocks(cfg: PipelineConfig, sp, F_sig: jnp.ndarray, F_ref: jnp.ndarray):
     """Phase A measurement on precomputed window spectra.
 
-    F_sig: [T', N, W]; F_ref: [T', W]. Returns (lag, mag, papr) each [T', N].
+    F_sig: [T', N, ...spectrum]; F_ref: [T', ...spectrum] (natural-order
+    [W] or permuted [m, m] depending on the backend). Returns (lag, mag,
+    papr) each [T', N].
     """
     est = jax.vmap(
-        lambda fs, fr: lag_estimate_from_spectra(fs, fr, method=cfg.lag_method)
+        lambda fs, fr: sp.lag_estimate(fs, fr, cfg.lag_method)
     )(F_sig, F_ref)
     return est.lag, est.mag, est.papr
 
@@ -92,7 +93,8 @@ def smooth_delays(
 
 def apply_corrections(
     cfg: PipelineConfig,
-    F_sig: jnp.ndarray,   # [T', N, W]
+    sp,
+    F_sig: jnp.ndarray,   # [T', N, ...spectrum]
     w_ref: jnp.ndarray,   # [T', W] time-domain reference windows
     delay: jnp.ndarray,   # [T', N]
     mag: jnp.ndarray,     # [T', N]
@@ -101,9 +103,7 @@ def apply_corrections(
 ):
     """Phase C: fractional advance + phase correction, overlap-save slicing."""
     L = cfg.block_len
-    y = jnp.fft.ifft(
-        apply_delay_phase_freq(F_sig, delay, jnp.ones((), jnp.complex64)), axis=-1
-    )
+    y = sp.ifft(sp.apply_advance(F_sig, delay, jnp.ones((), jnp.complex64)))
     out_raw = y[..., L // 2 : L // 2 + L]             # [T', N, L]
     out_ref = w_ref[..., L // 2 : L // 2 + L]          # [T', L]
 
@@ -139,14 +139,15 @@ def align_offline(
     w_sig = jnp.concatenate([sig[:-1], sig[1:]], axis=-1)
     w_ref = jnp.concatenate([ref[:-1], ref[1:]], axis=-1)
 
-    F_sig = jnp.fft.fft(w_sig, axis=-1)
-    F_ref = jnp.fft.fft(w_ref, axis=-1)
+    sp = get_spectral(cfg, w_sig.shape[-1])
+    F_sig = sp.fft(w_sig)
+    F_ref = sp.fft(w_ref)
 
-    lag, mag, papr = measure_blocks(cfg, F_sig, F_ref)
+    lag, mag, papr = measure_blocks(cfg, sp, F_sig, F_ref)
     delay = smooth_delays(cfg, lag, mag, smoothing)
     delay = jnp.clip(delay, -cfg.max_delay, cfg.max_delay)
     aligned, out_ref, pc = apply_corrections(
-        cfg, F_sig, w_ref, delay, mag, smoothing
+        cfg, sp, F_sig, w_ref, delay, mag, smoothing
     )
     return OfflineResult(
         aligned=aligned, ref=out_ref, lag=lag, delay=delay, mag=mag, papr=papr,

@@ -43,6 +43,12 @@ class PipelineConfig:
     lag_method: str = "phase_slope"
     # Minimum correlation coefficient to accept a lag measurement.
     min_corr_mag: float = 0.1
+    # Spectral backend: "xla" (jnp.fft) | "mxu" (four-step matmul FFT,
+    # kernels/fft4step.py) | "auto" (mxu when 2L is a supported square).
+    fft_impl: str = "xla"
+    # MXU matmul precision: "bf16" (fast; error below the int8 wire
+    # quantization step) | "f32" (XLA 3-pass, exact-ish).
+    mxu_precision: str = "bf16"
 
     def __post_init__(self):
         if self.max_delay is None:

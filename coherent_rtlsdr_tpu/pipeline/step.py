@@ -29,10 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from coherent_rtlsdr_tpu.ops.convert import c2f, f2c, u8_to_c64
-from coherent_rtlsdr_tpu.ops.delay import apply_delay_phase_freq
 from coherent_rtlsdr_tpu.ops.phase import ema_complex, phase_correction_estimate
 from coherent_rtlsdr_tpu.ops.spectral import rms
-from coherent_rtlsdr_tpu.ops.xcorr import lag_estimate_from_spectra
 from coherent_rtlsdr_tpu.pipeline.control import control_update
 from coherent_rtlsdr_tpu.pipeline.state import (
     BlockOutput,
@@ -60,15 +58,19 @@ def step(
     sig = u8_to_c64(sig_u8)  # [N, L]
     ref = u8_to_c64(ref_u8)  # [L]
 
+    from coherent_rtlsdr_tpu.kernels.backend import get_spectral
+
+    sp = get_spectral(cfg, 2 * L)
+
     # One batched FFT pass over the streaming windows. (State history is
     # stored as float pairs; complexify inside the program.)
     w_sig = jnp.concatenate([f2c(state.hist), sig], axis=-1)       # [N, 2L]
     w_ref = jnp.concatenate([f2c(state.ref_hist), ref], axis=-1)   # [2L]
-    F_sig = jnp.fft.fft(w_sig, axis=-1)
-    F_ref = jnp.fft.fft(w_ref, axis=-1)
+    F_sig = sp.fft(w_sig)
+    F_ref = sp.fft(w_ref)
 
     # Measure absolute lag of every channel (ccoherent::computelag analog).
-    meas = lag_estimate_from_spectra(F_sig, F_ref, method=cfg.lag_method)
+    meas = sp.lag_estimate(F_sig, F_ref, cfg.lag_method)
 
     # Control update (ccontrol analog, numerical).
     new_delay, new_synced = control_update(
@@ -76,9 +78,8 @@ def step(
     )
 
     # Apply the fractional advance in frequency domain; overlap-save slice.
-    y = jnp.fft.ifft(
-        apply_delay_phase_freq(F_sig, new_delay, jnp.ones((), jnp.complex64)),
-        axis=-1,
+    y = sp.ifft(
+        sp.apply_advance(F_sig, new_delay, jnp.ones((), jnp.complex64))
     )
     out_raw = y[:, L // 2 : L // 2 + L]                 # [N, L] time-aligned
     out_ref = w_ref[L // 2 : L // 2 + L]                # [L] same latency

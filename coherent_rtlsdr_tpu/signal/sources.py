@@ -91,6 +91,44 @@ class SyntheticStreamSource:
         return out
 
 
+class ZmqSource:
+    """Network-fed block source: subscribes to a reference-wire-format frame
+    stream and re-serves it as capture blocks — the intent of the
+    reference's empty ``czmqsdr`` stub (include/csdrdevice.h:270-272),
+    realized. Lets one alignment server chain off another's output, or a
+    remote host feed raw dongle captures to the TPU host over the network.
+
+    Frames must carry the header (channel 0 = reference). Returns None on
+    receive timeout.
+    """
+
+    def __init__(self, address: str, timeout_ms: int = 30000):
+        import zmq
+
+        self._ctx = zmq.Context.instance()
+        self._sub = self._ctx.socket(zmq.SUB)
+        self._sub.setsockopt(zmq.SUBSCRIBE, b"")
+        self._sub.setsockopt(zmq.RCVTIMEO, timeout_ms)
+        self._sub.connect(address)
+        self.refnoise_enabled = True
+
+    def next_block(self) -> Optional[Block]:
+        import zmq
+
+        from coherent_rtlsdr_tpu.io.wire import unpack_frame
+
+        try:
+            buf = self._sub.recv()
+        except zmq.Again:
+            return None
+        f = unpack_frame(buf)
+        u8 = (f.iq.astype(np.int16) + 128).astype(np.uint8)
+        return u8[1:], u8[0], f.seqnums[1:].astype(np.uint32)
+
+    def close(self):
+        self._sub.close(0)
+
+
 class FileSource:
     """Replays a recorded capture (io/streamio.py), optionally looping."""
 

@@ -1,0 +1,149 @@
+"""MXU four-step FFT kernel tests: exact layout semantics vs jnp.fft, and
+pipeline equivalence between the 'xla' and 'mxu' spectral backends."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coherent_rtlsdr_tpu.kernels.fft4step import FFT4Step, supported_fft_len
+from coherent_rtlsdr_tpu.kernels.permuted import (
+    delay_ramp_permuted,
+    lag_estimate_permuted,
+)
+from coherent_rtlsdr_tpu.ops.delay import delay_ramp
+from coherent_rtlsdr_tpu.ops.xcorr import lag_estimate_from_spectra
+
+W = 4096  # 64 x 64 — CPU-test-sized square length
+M = 64
+
+
+def _noise(key, shape):
+    k1, k2 = jax.random.split(key)
+    return (
+        jax.random.normal(k1, shape, dtype=jnp.float32)
+        + 1j * jax.random.normal(k2, shape, dtype=jnp.float32)
+    ).astype(jnp.complex64)
+
+
+def _to_permuted(X):
+    """Natural-order spectrum [.., W] -> the four-step (k2, k1) layout."""
+    m = M
+    return jnp.swapaxes(X.reshape(*X.shape[:-1], m, m), -1, -2)
+
+
+class TestFFT4Step:
+    def test_supported_lengths(self):
+        assert supported_fft_len(4096) and supported_fft_len(16384)
+        assert supported_fft_len(65536)
+        assert not supported_fft_len(8192)
+        assert not supported_fft_len(1024)
+
+    @pytest.mark.parametrize("precision,tol", [("f32", 2e-3), ("bf16", 3e-2)])
+    def test_forward_matches_jnp_fft(self, precision, tol):
+        fft = FFT4Step(W, precision=precision)
+        x = _noise(jax.random.PRNGKey(0), (3, W))
+        D = fft.fft(x)
+        expect = _to_permuted(jnp.fft.fft(x, axis=-1))
+        scale = float(jnp.max(jnp.abs(expect)))
+        err = float(jnp.max(jnp.abs(D - expect))) / scale
+        assert err < tol, err
+
+    @pytest.mark.parametrize("precision,tol", [("f32", 1e-5), ("bf16", 2e-2)])
+    def test_roundtrip(self, precision, tol):
+        fft = FFT4Step(W, precision=precision)
+        x = _noise(jax.random.PRNGKey(1), (2, W))
+        y = fft.ifft(fft.fft(x))
+        rms = float(jnp.sqrt(jnp.mean(jnp.abs(x) ** 2)))
+        err = float(jnp.sqrt(jnp.mean(jnp.abs(y - x) ** 2))) / rms
+        assert err < tol, err
+
+    def test_freq_index_grid(self):
+        fft = FFT4Step(W)
+        k = np.asarray(fft.freq_index_grid())
+        assert k[0, 0] == 0 and k[1, 0] == 1 and k[0, 1] == M
+        assert k.max() == W - 1 and len(np.unique(k)) == W
+
+
+class TestPermutedOps:
+    def test_delay_ramp_matches_natural(self):
+        fft = FFT4Step(W, precision="f32")
+        for d in (0.0, 3.25, -117.5, 1000.0):
+            rp = delay_ramp_permuted(fft, jnp.float32(d))
+            rn = _to_permuted(delay_ramp(W, jnp.float32(d)))
+            assert float(jnp.max(jnp.abs(rp - rn))) < 1e-4
+
+    def test_lag_estimate_matches_natural(self):
+        fft = FFT4Step(W, precision="f32")
+        key = jax.random.PRNGKey(2)
+        ref = _noise(key, (W,))
+        lags = jnp.array([4.25, -33.7, 0.0])
+        F_ref = jnp.fft.fft(ref)
+        F_sig = F_ref[None, :] * delay_ramp(W, lags)
+        est_n = lag_estimate_from_spectra(F_sig, F_ref)
+        est_p = lag_estimate_permuted(fft, _to_permuted(F_sig), _to_permuted(F_ref))
+        np.testing.assert_allclose(np.asarray(est_p.lag), np.asarray(est_n.lag), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(est_p.mag), np.asarray(est_n.mag), rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(est_p.papr), np.asarray(est_n.papr), rtol=1e-2
+        )
+
+
+class TestPipelineBackendEquivalence:
+    L = 2048  # 2L = 4096 = 64^2
+
+    def _run(self, fft_impl, precision="f32", n_blocks=10):
+        from coherent_rtlsdr_tpu.pipeline import PipelineConfig, init_state, step
+        from coherent_rtlsdr_tpu.signal import make_truth, synth_capture
+
+        truth = make_truth(4, seed=0, max_delay=40.0, snr_db=30.0)
+        cap = synth_capture(
+            jax.random.PRNGKey(0), truth, n_blocks=n_blocks, block_len=self.L
+        )
+        cfg = PipelineConfig(
+            n_channels=4, block_len=self.L, fft_impl=fft_impl,
+            mxu_precision=precision,
+        )
+        state = init_state(cfg)
+        gate = jnp.array(True)
+        jstep = jax.jit(lambda s, a, b: step(cfg, s, a, b, gate))
+        for t in range(n_blocks):
+            state, out = jstep(state, cap.sig_u8[t], cap.ref_u8[t])
+        return truth, state, out
+
+    def test_step_mxu_f32_matches_truth(self):
+        truth, state, out = self._run("mxu", "f32")
+        np.testing.assert_allclose(np.asarray(state.delay), truth.delays, atol=0.02)
+        assert bool(jnp.all(state.synced))
+
+    def test_step_mxu_bf16_converges(self):
+        truth, state, out = self._run("mxu", "bf16")
+        np.testing.assert_allclose(np.asarray(state.delay), truth.delays, atol=0.1)
+        assert bool(jnp.all(state.synced))
+        # aligned output still coherent at the int8-wire level
+        aligned = np.asarray(out.aligned)
+        ref = np.asarray(out.ref)
+        for ch in range(4):
+            z = np.sum(aligned[ch] * np.conj(ref))
+            rho = np.abs(z) / (np.linalg.norm(aligned[ch]) * np.linalg.norm(ref))
+            assert rho > 0.95
+            assert abs(np.degrees(np.angle(z))) < 3.0
+
+    def test_offline_mxu_matches_xla(self):
+        from coherent_rtlsdr_tpu.pipeline import PipelineConfig, align_offline
+        from coherent_rtlsdr_tpu.signal import make_truth, synth_capture
+
+        truth = make_truth(4, seed=1, max_delay=30.0, snr_db=30.0)
+        cap = synth_capture(jax.random.PRNGKey(1), truth, n_blocks=8, block_len=self.L)
+        cfg_x = PipelineConfig(n_channels=4, block_len=self.L, fft_impl="xla")
+        cfg_m = PipelineConfig(
+            n_channels=4, block_len=self.L, fft_impl="mxu", mxu_precision="f32"
+        )
+        rx = jax.jit(lambda s, r: align_offline(cfg_x, s, r))(cap.sig_u8, cap.ref_u8)
+        rm = jax.jit(lambda s, r: align_offline(cfg_m, s, r))(cap.sig_u8, cap.ref_u8)
+        np.testing.assert_allclose(
+            np.asarray(rm.delay), np.asarray(rx.delay), atol=5e-3
+        )
+        err = np.abs(np.asarray(rm.aligned) - np.asarray(rx.aligned))
+        rms = np.sqrt(np.mean(np.abs(np.asarray(rx.aligned)) ** 2))
+        assert err.max() / rms < 0.05

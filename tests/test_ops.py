@@ -78,7 +78,7 @@ class TestLagEstimate:
         assert float(est.mag) > 0.85 * (1.0 - abs(true_lag) / L)
         assert float(est.papr) > 100.0
 
-    @pytest.mark.parametrize("method", ["phase_slope", "parabolic"])
+    @pytest.mark.parametrize("method", ["phase_slope", "parabolic", "phase_zoom"])
     @pytest.mark.parametrize("true_lag", [0.25, -3.7, 12.5, -0.49])
     def test_fractional_lag(self, method, true_lag):
         key = jax.random.PRNGKey(2)
@@ -88,12 +88,13 @@ class TestLagEstimate:
         est = ops.lag_estimate(sig, ref, method=method)
         # parabolic on the Dirichlet peak magnitude has up to ~0.2-sample
         # bias (it is the cheap legacy method; phase_slope is the default).
-        tol = 5e-3 if method == "phase_slope" else 0.25
+        tol = 0.25 if method == "parabolic" else 5e-3
         assert abs(float(est.lag) - true_lag) < tol, (
             f"{method}: est {float(est.lag)} vs true {true_lag}"
         )
 
-    def test_phase_slope_with_noise(self):
+    @pytest.mark.parametrize("method", ["phase_slope", "phase_zoom"])
+    def test_fractional_with_noise(self, method):
         key = jax.random.PRNGKey(3)
         L = 8192
         ref = _noise(key, L)
@@ -101,8 +102,28 @@ class TestLagEstimate:
         snr_db = 20.0
         noise = _noise(jax.random.PRNGKey(99), L, amp=10 ** (-snr_db / 20))
         sig = _delayed(ref, true_lag) + noise
-        est = ops.lag_estimate(sig, ref)
+        est = ops.lag_estimate(sig, ref, method=method)
         assert abs(float(est.lag) - true_lag) < 0.02
+        assert float(est.mag) > 0.9
+
+    def test_phase_zoom_larger_lags(self):
+        """phase_zoom is unambiguous for |lag| < W/16 (coarse-stage band
+        count); beyond that it must fail SAFE (mag collapses, so the
+        quality gate rejects the measurement)."""
+        key = jax.random.PRNGKey(13)
+        L = 8192
+        ref = _noise(key, L)
+        for true_lag in (250.25, -500.5):  # inside +-W/16 = +-512
+            sig = _delayed(ref, true_lag)
+            est = ops.lag_estimate(sig, ref, method="phase_zoom")
+            assert abs(float(est.lag) - true_lag) < 0.01, (
+                true_lag, float(est.lag)
+            )
+            assert float(est.mag) > 0.9
+        # out of range: wrong lag is fine, but mag must reject it
+        sig = _delayed(ref, 1000.0)
+        est = ops.lag_estimate(sig, ref, method="phase_zoom")
+        assert float(est.mag) < 0.1
 
     def test_batched_channels(self):
         key = jax.random.PRNGKey(4)
