@@ -1,0 +1,71 @@
+"""Loopback tests across the ZMQ edge: publisher -> wire -> ZmqSource (the
+network-fed device), exercising the czmqsdr capability end to end."""
+
+import time
+
+import numpy as np
+import pytest
+
+zmq = pytest.importorskip("zmq")
+
+from coherent_rtlsdr_tpu.io.zmq_edge import ControlServer, FramePublisher
+from coherent_rtlsdr_tpu.signal.sources import ZmqSource
+
+PORT = 18555
+CTRL_PORT = 18556
+
+
+class TestZmqLoopback:
+    def test_publisher_to_zmq_source(self):
+        pub = FramePublisher(
+            data_addr=f"tcp://127.0.0.1:{PORT}",
+            debug_addr=f"tcp://127.0.0.1:{PORT+2}",
+        )
+        src = ZmqSource(f"tcp://127.0.0.1:{PORT}", timeout_ms=5000)
+        time.sleep(0.3)  # PUB/SUB join
+
+        rng = np.random.default_rng(0)
+        # frame: ref channel + 3 signal channels
+        iq = rng.integers(-128, 128, (4, 64, 2)).astype(np.int8)
+        seqs = np.array([9, 10, 11, 12], np.uint32)
+        pub.publish(iq, seqs)
+
+        blk = src.next_block()
+        assert blk is not None
+        sig_u8, ref_u8, seqnums = blk
+        assert sig_u8.shape == (3, 64, 2) and sig_u8.dtype == np.uint8
+        assert ref_u8.shape == (64, 2)
+        np.testing.assert_array_equal(seqnums, [10, 11, 12])
+        # u8 offset-binary round trip of the int8 wire payload
+        np.testing.assert_array_equal(
+            sig_u8.astype(np.int16) - 128, iq[1:].astype(np.int16)
+        )
+        np.testing.assert_array_equal(
+            ref_u8.astype(np.int16) - 128, iq[0].astype(np.int16)
+        )
+
+        src.close()
+        pub.close()
+
+    def test_zmq_source_timeout_returns_none(self):
+        src = ZmqSource(f"tcp://127.0.0.1:{PORT+4}", timeout_ms=100)
+        assert src.next_block() is None
+        src.close()
+
+    def test_control_server_poll(self):
+        ctl = ControlServer(f"tcp://127.0.0.1:{CTRL_PORT}")
+        ctx = zmq.Context.instance()
+        dealer = ctx.socket(zmq.DEALER)
+        dealer.setsockopt(zmq.RCVTIMEO, 5000)
+        dealer.connect(f"tcp://127.0.0.1:{CTRL_PORT}")
+        time.sleep(0.2)
+
+        got = []
+        dealer.send_string("status")
+        dealer.send_string("request lag")
+        time.sleep(0.2)
+        n = ctl.poll(lambda s: (got.append(s), "ok")[1], timeout_ms=2000)
+        assert n == 2 and got == ["status", "request lag"]
+        assert dealer.recv().decode() == "ok"
+        ctl.close()
+        dealer.close(0)
