@@ -87,22 +87,60 @@ class CoherentServer:
         self.control = control
         self.dispatcher = ConsoleDispatcher(self)
 
+        self.scan_depth = int(scan_depth)
+        self._build_jits(cfg)
+        self.state: PipelineState = init_state(cfg)
+        if state_path and os.path.exists(state_path):
+            self.restore_state(state_path)
+
+    def _build_jits(self, cfg: PipelineConfig) -> None:
+        import jax
+
+        from coherent_rtlsdr_tpu.ops.convert import c64_to_i8_iq
+        from coherent_rtlsdr_tpu.pipeline import step
+
         def _step(state, sig_u8, ref_u8, gate):
             new_state, out = step(cfg, state, sig_u8, ref_u8, gate)
             wire_sig = c64_to_i8_iq(out.aligned)        # [N, L, 2] int8
             wire_ref = c64_to_i8_iq(out.ref)            # [L, 2] int8
             return new_state, wire_sig, wire_ref, out.telemetry
 
+        self.cfg = cfg
         self._step = jax.jit(_step, donate_argnums=(0,))
-        self.scan_depth = int(scan_depth)
         self._scan = None
         if self.scan_depth > 1:
             from coherent_rtlsdr_tpu.pipeline.drivers import make_scan_runner
 
             self._scan = make_scan_runner(cfg, emit_wire=True, donate=True)
-        self.state: PipelineState = init_state(cfg)
-        if state_path and os.path.exists(state_path):
-            self.restore_state(state_path)
+
+    # ---- channel hot-plug (console add/del; console.cc:225-270) ---------
+
+    def _resize_channels(self, row_map) -> None:
+        """Rebuild config/state/jits for a new channel set. ``row_map[i]`` is
+        the old row feeding new row i, or -1 for a fresh (unsynced) channel.
+        Surviving channels keep their calibration — no re-sync."""
+        import dataclasses
+
+        from coherent_rtlsdr_tpu.pipeline import init_state
+
+        jnp = self._jnp
+        old_state = self.state
+        new_cfg = dataclasses.replace(self.cfg, n_channels=len(row_map))
+        new_state = init_state(new_cfg)
+        updates = {}
+        for name in ("delay", "phase", "lag", "mag", "papr", "synced", "hist"):
+            old_leaf = np.asarray(getattr(old_state, name))
+            new_leaf = np.asarray(getattr(new_state, name)).copy()
+            for newi, oldi in enumerate(row_map):
+                if 0 <= oldi < old_leaf.shape[0]:
+                    new_leaf[newi] = old_leaf[oldi]
+            updates[name] = jnp.asarray(new_leaf)
+        self.state = new_state.replace(
+            ref_hist=old_state.ref_hist,
+            block_idx=old_state.block_idx,
+            **updates,
+        )
+        self._build_jits(new_cfg)
 
     # ---- calibration checkpoint / resume ---------------------------------
 
@@ -256,7 +294,13 @@ class CoherentServer:
 
     def list_channels(self, all=False) -> str:
         n = len(np.asarray(self.state.delay))
-        return f"{n} signal channels + ref (synthetic/file source)"
+        serials = getattr(self.source, "serials", None)
+        if serials and all:
+            return "\n".join(
+                [f"{n} signal channels + ref:"]
+                + [f"  ch{i + 1}: '{s}'" for i, s in enumerate(serials)]
+            )
+        return f"{n} signal channels + ref"
 
     def phase_table(self) -> str:
         ph = np.degrees(np.angle(np.asarray(self._fetch_phases_state())))
@@ -280,10 +324,22 @@ class CoherentServer:
         self._resync_requested = True
 
     def add_channel(self, serial: str) -> str:
-        return "add not supported for this source"
+        if not hasattr(self.source, "add_channel"):
+            return "add not supported for this source"
+        old_n = self.cfg.n_channels
+        idx = self.source.add_channel(serial)
+        self._resize_channels(list(range(old_n)) + [-1])
+        return f"added '{serial}' as channel {idx + 1}"  # wire ch 0 = ref
 
     def del_channel(self, serial: str) -> str:
-        return "del not supported for this source"
+        if not hasattr(self.source, "del_channel"):
+            return "del not supported for this source"
+        old_n = self.cfg.n_channels
+        i = self.source.del_channel(serial)
+        if i is None:
+            return f"no such channel: '{serial}'"
+        self._resize_channels([r for r in range(old_n) if r != i])
+        return f"deleted '{serial}'"
 
     def drain_log(self) -> str:
         out = "\n".join(self._log_lines)

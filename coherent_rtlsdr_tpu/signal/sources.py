@@ -54,6 +54,55 @@ class SyntheticStreamSource:
         self._seqnums = np.zeros(len(truth.delays), np.uint32)
         self._prev: Optional[Block] = None
         self.refnoise_enabled = refnoise_enabled
+        self.serials = [f"SYN {i}" for i in range(len(truth.delays))]
+
+    # -- hot-plug (console add/del parity; console.cc:225-270) ----------
+
+    @property
+    def n_channels(self) -> int:
+        return len(self._truth.delays)
+
+    def add_channel(self, serial: str) -> int:
+        """Append a new synthetic channel (deterministic truth from the
+        serial); returns its index in the rx matrix."""
+        import dataclasses
+
+        h = np.random.default_rng(abs(hash(serial)) % (2**32))
+        t = self._truth
+        self._truth = dataclasses.replace(
+            t,
+            delays=np.append(t.delays, h.uniform(-40, 40)).astype(np.float32),
+            phases=np.append(t.phases, h.uniform(-np.pi, np.pi)).astype(np.float32),
+            gains=np.append(t.gains, h.uniform(0.7, 1.0)).astype(np.float32),
+            ppm=np.append(t.ppm, 0.0).astype(np.float32),
+        )
+        self.serials.append(serial)
+        self._seqnums = np.append(self._seqnums, 0).astype(np.uint32)
+        self._sig = None  # force slab regeneration
+        self._prev = None
+        return len(self.serials) - 1
+
+    def del_channel(self, serial: str) -> Optional[int]:
+        """Remove a channel by serial; returns its former index or None."""
+        import dataclasses
+
+        if serial not in self.serials:
+            return None
+        i = self.serials.index(serial)
+        t = self._truth
+        keep = np.arange(len(t.delays)) != i
+        self._truth = dataclasses.replace(
+            t,
+            delays=t.delays[keep],
+            phases=t.phases[keep],
+            gains=t.gains[keep],
+            ppm=t.ppm[keep],
+        )
+        self.serials.pop(i)
+        self._seqnums = self._seqnums[keep]
+        self._sig = None
+        self._prev = None
+        return i
 
     def _fill_slab(self):
         # Generate on host CPU: the source stands in for host-side hardware

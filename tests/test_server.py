@@ -132,6 +132,53 @@ class TestFaultInjection:
         )
 
 
+class TestHotPlug:
+    def test_add_channel_mid_run(self):
+        """Console `add` while streaming: existing channels keep their
+        calibration, the new one acquires — the reference lists add/del as
+        "unworking features" (README.md:20); here they work."""
+        srv, pub, ctl, truth = _server()
+        srv.run(max_blocks=8)
+        delay_before = np.asarray(srv.state.delay).copy()
+        assert bool(np.all(np.asarray(srv.state.synced)))
+
+        ctl.queue.append("add NEWCH")
+        srv.run(max_blocks=1)  # command processed after this block
+        assert srv.cfg.n_channels == 4
+        srv.run(max_blocks=8)  # let the new channel acquire
+        frame = pub.frames[-1]
+        assert frame[0].shape[0] == 5  # ref + 4 signal channels
+        np.testing.assert_allclose(
+            np.asarray(srv.state.delay)[:3], delay_before, atol=0.05
+        )
+        assert bool(np.all(np.asarray(srv.state.synced)))
+
+    def test_del_channel_mid_run(self):
+        srv, pub, ctl, truth = _server()
+        srv.run(max_blocks=8)
+        ctl.queue.append("del SYN 1")
+        srv.run(max_blocks=2)
+        assert srv.cfg.n_channels == 2
+        frame = pub.frames[-1]
+        assert frame[0].shape[0] == 3  # ref + 2 remaining
+        np.testing.assert_allclose(
+            np.asarray(srv.state.delay),
+            truth.delays[[0, 2]],
+            atol=0.05,
+        )
+
+    def test_del_unknown_serial(self):
+        srv, _, _, _ = _server()
+        out = srv.del_channel("NOPE")
+        assert "no such channel" in out
+        assert srv.cfg.n_channels == 3
+
+    def test_list_all_shows_serials(self):
+        srv, _, _, _ = _server()
+        out = srv.list_channels(all=True)
+        assert "SYN 0" in out and "SYN 2" in out
+
+
 class TestRefNoise:
     def test_simulation_mode(self):
         rn = RefNoise(device=None)
