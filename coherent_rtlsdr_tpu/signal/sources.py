@@ -178,6 +178,37 @@ class ZmqSource:
         self._sub.close(0)
 
 
+class RingSource:
+    """Blocks from the native C++ SPSC ring (coherent_rtlsdr_tpu.native).
+
+    The production ingest path: a capture producer (C++ USB reader thread,
+    file reader, or network receiver) pushes raw blocks into the ring; the
+    pipeline pops them here. Block layout in the ring: ref block first,
+    then N signal channels, uint8 interleaved IQ — one slot per time block.
+
+    ``seqnum`` of the slot is the capture block counter; per-channel seqnums
+    are synthesized from it plus the ring's drop counter (a full ring drops
+    whole frames, which downstream sees as frame-level gaps, matching the
+    reference's failure mode).
+    """
+
+    def __init__(self, ring, n_channels: int, block_len: int, timeout_ms: int = 5000):
+        self._ring = ring
+        self._n = n_channels
+        self._L = block_len
+        self._timeout = timeout_ms
+        self.refnoise_enabled = True
+
+    def next_block(self) -> Optional[Block]:
+        out = self._ring.pop(timeout_ms=self._timeout)
+        if out is None:
+            return None
+        buf, seqnum, _ts = out
+        frame = buf.reshape(self._n + 1, self._L, 2)
+        seqs = np.full(self._n, seqnum, np.uint32)
+        return frame[1:], frame[0], seqs
+
+
 class FileSource:
     """Replays a recorded capture (io/streamio.py), optionally looping."""
 

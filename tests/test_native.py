@@ -82,6 +82,34 @@ class TestConvert:
         np.testing.assert_array_equal(back, expect)
 
 
+class TestRingSource:
+    def test_ring_feeds_pipeline_source(self):
+        """Producer pushes frames into the native ring; RingSource serves
+        them as pipeline blocks (the C++ ingest path)."""
+        from coherent_rtlsdr_tpu.signal.sources import RingSource
+
+        n, L = 3, 64
+        block_bytes = (n + 1) * L * 2
+        ring = native.NativeBlockRing(8, block_bytes)
+        src = RingSource(ring, n_channels=n, block_len=L, timeout_ms=1000)
+
+        rng = np.random.default_rng(0)
+        frames = [
+            rng.integers(0, 256, (n + 1, L, 2), dtype=np.uint8) for _ in range(3)
+        ]
+        for i, f in enumerate(frames):
+            ring.push(f.reshape(-1), seqnum=100 + i)
+
+        for i, f in enumerate(frames):
+            blk = src.next_block()
+            assert blk is not None
+            sig, ref, seqs = blk
+            np.testing.assert_array_equal(ref, f[0])
+            np.testing.assert_array_equal(sig, f[1:])
+            assert seqs[0] == 100 + i
+        assert src.next_block() is None  # drained -> timeout
+
+
 class TestNativePublisher:
     def test_wire_parity_with_python(self):
         """Frame bytes from the native packetizer must equal io/wire.py's."""
