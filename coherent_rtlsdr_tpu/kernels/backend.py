@@ -33,10 +33,16 @@ class XlaSpectral:
 
 
 class MxuSpectral:
-    """Permuted-layout spectra via the four-step MXU FFT."""
+    """Permuted-layout spectra via the four-step MXU FFT (einsum or fused
+    Pallas kernel)."""
 
-    def __init__(self, fft_len: int, precision: str = "bf16"):
-        self._fft = FFT4Step(fft_len, precision=precision)
+    def __init__(self, fft_len: int, precision: str = "bf16", pallas: bool = False):
+        if pallas:
+            from coherent_rtlsdr_tpu.kernels.pallas_fft import FFT4StepPallas
+
+            self._fft = FFT4StepPallas(fft_len)
+        else:
+            self._fft = FFT4Step(fft_len, precision=precision)
         self.fft_len = fft_len
 
     def fft(self, x):
@@ -56,13 +62,18 @@ class MxuSpectral:
 
 def get_spectral(cfg, fft_len: int):
     """Pick the backend from PipelineConfig.fft_impl ('xla' | 'mxu' |
-    'auto'). 'auto' uses MXU when the length is a supported square."""
+    'pallas' | 'auto'). 'auto' uses MXU when the length is a supported
+    square."""
     impl = getattr(cfg, "fft_impl", "xla")
-    if impl == "mxu" or (impl == "auto" and supported_fft_len(fft_len)):
+    if impl in ("mxu", "pallas") or (impl == "auto" and supported_fft_len(fft_len)):
         if not supported_fft_len(fft_len):
             raise ValueError(
-                f"fft_impl='mxu' needs a square fft_len in {{4096, 16384, 65536}}, "
-                f"got {fft_len}"
+                f"fft_impl='{impl}' needs a square fft_len in "
+                f"{{4096, 16384, 65536}}, got {fft_len}"
             )
-        return MxuSpectral(fft_len, precision=getattr(cfg, "mxu_precision", "bf16"))
+        return MxuSpectral(
+            fft_len,
+            precision=getattr(cfg, "mxu_precision", "bf16"),
+            pallas=(impl == "pallas"),
+        )
     return XlaSpectral(fft_len)

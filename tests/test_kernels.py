@@ -65,6 +65,49 @@ class TestFFT4Step:
         assert k.max() == W - 1 and len(np.unique(k)) == W
 
 
+class TestPallasFFT:
+    """Fused Pallas kernel vs the einsum four-step and jnp.fft (interpreter
+    mode on CPU; compiled on TPU)."""
+
+    def test_forward_matches_jnp_fft(self):
+        from coherent_rtlsdr_tpu.kernels.pallas_fft import FFT4StepPallas
+
+        fft = FFT4StepPallas(W)
+        x = _noise(jax.random.PRNGKey(10), (2, W))
+        D = fft.fft(x)
+        expect = _to_permuted(jnp.fft.fft(x, axis=-1))
+        scale = float(jnp.max(jnp.abs(expect)))
+        err = float(jnp.max(jnp.abs(D - expect))) / scale
+        assert err < 3e-2, err  # bf16 matmuls
+
+    def test_roundtrip(self):
+        from coherent_rtlsdr_tpu.kernels.pallas_fft import FFT4StepPallas
+
+        fft = FFT4StepPallas(W)
+        x = _noise(jax.random.PRNGKey(11), (2, W))
+        y = fft.ifft(fft.fft(x))
+        rms = float(jnp.sqrt(jnp.mean(jnp.abs(x) ** 2)))
+        err = float(jnp.sqrt(jnp.mean(jnp.abs(y - x) ** 2))) / rms
+        assert err < 2e-2, err
+
+    def test_pipeline_backend(self):
+        """fft_impl='pallas' end to end on a short capture."""
+        from coherent_rtlsdr_tpu.pipeline import PipelineConfig, init_state, step
+        from coherent_rtlsdr_tpu.signal import make_truth, synth_capture
+
+        L = 2048
+        truth = make_truth(3, seed=2, max_delay=30.0, snr_db=30.0)
+        cap = synth_capture(jax.random.PRNGKey(2), truth, n_blocks=8, block_len=L)
+        cfg = PipelineConfig(n_channels=3, block_len=L, fft_impl="pallas")
+        state = init_state(cfg)
+        gate = jnp.array(True)
+        jstep = jax.jit(lambda s, a, b: step(cfg, s, a, b, gate))
+        for t in range(8):
+            state, out = jstep(state, cap.sig_u8[t], cap.ref_u8[t])
+        np.testing.assert_allclose(np.asarray(state.delay), truth.delays, atol=0.1)
+        assert bool(jnp.all(state.synced))
+
+
 class TestPermutedOps:
     def test_delay_ramp_matches_natural(self):
         fft = FFT4Step(W, precision="f32")
