@@ -85,20 +85,95 @@ def _fourstep_kernel_inv(
     oim_ref[0] = dot(fre, b16im) + dot(fim, b16re)
 
 
+def _fourstep_kernel_tiled(
+    fre_ref, fim_ref, tre_ref, tim_ref, xre_ref, xim_ref, ore_ref, oim_ref,
+    *, inverse: bool, tb: int
+):
+    """``tb`` transforms per grid step with stacked matmuls.
+
+    Single-transform 128^3 dots run the MXU at ~6% utilization (pipeline
+    never fills). Stacking: stage "F @ A_t" over a HORIZONTAL stack
+    [m, tb*m] and stage "C_t @ F" over a VERTICAL stack [tb*m, m] makes
+    both stages one large matmul; the only data movement is two VMEM
+    relayouts (transpose of the tb axis), which never touch HBM.
+
+    Forward order: left-mm, twiddle, right-mm. Inverse order: right-mm,
+    conj-twiddle, left-mm (tables arrive conjugated/scaled).
+    """
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    m = fre_ref.shape[0]
+    fre = fre_ref[:].astype(jnp.bfloat16)
+    fim = fim_ref[:].astype(jnp.bfloat16)
+    tre = tre_ref[:]
+    tim = tim_ref[:]
+
+    xre = xre_ref[:]  # [tb, m, m] f32
+    xim = xim_ref[:]
+
+    if not inverse:
+        # H = [A_1 | ... | A_tb]  -> B_wide = F @ H
+        hre = xre.transpose(1, 0, 2).reshape(m, tb * m).astype(jnp.bfloat16)
+        him = xim.transpose(1, 0, 2).reshape(m, tb * m).astype(jnp.bfloat16)
+        bre = dot(fre, hre) - dot(fim, him)   # [m, tb*m] f32
+        bim = dot(fre, him) + dot(fim, hre)
+        # twiddle (broadcast over the tb axis), then V = [C_1; ...; C_tb]
+        b3re = bre.reshape(m, tb, m)
+        b3im = bim.reshape(m, tb, m)
+        c3re = b3re * tre[:, None, :] - b3im * tim[:, None, :]
+        c3im = b3re * tim[:, None, :] + b3im * tre[:, None, :]
+        vre = c3re.transpose(1, 0, 2).reshape(tb * m, m).astype(jnp.bfloat16)
+        vim = c3im.transpose(1, 0, 2).reshape(tb * m, m).astype(jnp.bfloat16)
+        dre = dot(vre, fre) - dot(vim, fim)   # [tb*m, m] = stacked D_t
+        dim = dot(vre, fim) + dot(vim, fre)
+        ore_ref[:] = dre.reshape(tb, m, m)
+        oim_ref[:] = dim.reshape(tb, m, m)
+    else:
+        # C_t = D_t @ Fi on the vertical stack
+        vre = xre.reshape(tb * m, m).astype(jnp.bfloat16)
+        vim = xim.reshape(tb * m, m).astype(jnp.bfloat16)
+        cre = dot(vre, fre) - dot(vim, fim)   # [tb*m, m]
+        cim = dot(vre, fim) + dot(vim, fre)
+        # conj-twiddle per block, then horizontal stack for the left mm
+        c3re = cre.reshape(tb, m, m)
+        c3im = cim.reshape(tb, m, m)
+        b3re = c3re * tre[None, :, :] - c3im * tim[None, :, :]
+        b3im = c3re * tim[None, :, :] + c3im * tre[None, :, :]
+        hre = b3re.transpose(1, 0, 2).reshape(m, tb * m).astype(jnp.bfloat16)
+        him = b3im.transpose(1, 0, 2).reshape(m, tb * m).astype(jnp.bfloat16)
+        are = dot(fre, hre) - dot(fim, him)   # [m, tb*m]
+        aim = dot(fre, him) + dot(fim, hre)
+        ore_ref[:] = are.reshape(m, tb, m).transpose(1, 0, 2)
+        oim_ref[:] = aim.reshape(m, tb, m).transpose(1, 0, 2)
+
+
 def _run_fourstep(
     xre: jnp.ndarray,  # [B, m, m] f32
     xim: jnp.ndarray,
     tables: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
     interpret: bool,
     inverse: bool,
+    tile: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     B, m, _ = xre.shape
     fre, fim, tre, tim = tables
     table_spec = pl.BlockSpec((m, m), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    x_spec = pl.BlockSpec((1, m, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    if tile > 1 and B % tile == 0:
+        x_spec = pl.BlockSpec(
+            (tile, m, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        kernel = functools.partial(
+            _fourstep_kernel_tiled, inverse=inverse, tb=tile
+        )
+        grid = (B // tile,)
+    else:
+        x_spec = pl.BlockSpec((1, m, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        kernel = _fourstep_kernel_inv if inverse else _fourstep_kernel
+        grid = (B,)
+
     out = pl.pallas_call(
-        _fourstep_kernel_inv if inverse else _fourstep_kernel,
-        grid=(B,),
+        kernel,
+        grid=grid,
         in_specs=[table_spec, table_spec, table_spec, table_spec, x_spec, x_spec],
         out_specs=(x_spec, x_spec),
         out_shape=(
@@ -116,12 +191,13 @@ class FFT4StepPallas:
     ``interpret=None`` auto-selects interpreter mode off-TPU (CPU tests).
     """
 
-    def __init__(self, fft_len: int, interpret=None):
+    def __init__(self, fft_len: int, interpret=None, tile: int = 8):
         m = int(round(np.sqrt(fft_len)))
         if m * m != fft_len:
             raise ValueError(f"fft_len {fft_len} is not a square")
         self.fft_len = fft_len
         self.m = m
+        self._tile = int(tile)
         if interpret is None:
             interpret = jax.default_backend() not in ("tpu",)
         self._interpret = bool(interpret)
@@ -152,6 +228,7 @@ class FFT4StepPallas:
             tables,
             self._interpret,
             inverse,
+            tile=self._tile,
         )
         out = (ore + 1j * oim).astype(jnp.complex64)
         return out.reshape(*batch_shape, m, m)

@@ -14,6 +14,7 @@ mesh:
 
 from coherent_rtlsdr_tpu.parallel.mesh import make_mesh, auto_mesh_shape
 from coherent_rtlsdr_tpu.parallel.sharded import (
+    make_auto_sharded_align,
     make_sharded_align,
     make_sharded_step,
 )
@@ -21,6 +22,7 @@ from coherent_rtlsdr_tpu.parallel.sharded import (
 __all__ = [
     "make_mesh",
     "auto_mesh_shape",
+    "make_auto_sharded_align",
     "make_sharded_align",
     "make_sharded_step",
 ]

@@ -154,6 +154,44 @@ def state_partition_spec():
     )
 
 
+def make_auto_sharded_align(cfg: PipelineConfig, mesh, smoothing: str = "global"):
+    """GSPMD-partitioned offline align: same numerics as the unsharded
+    engine for BOTH smoothers (including the sequential-looking EMA — the
+    associative scan partitions across time shards automatically), with
+    XLA inserting the halo/reduction collectives from sharding constraints.
+
+    Complements make_sharded_align (explicit shard_map): that one is the
+    hand-scheduled ICI layout; this one trades explicit control for full
+    smoothing generality. Input shardings: sig [T, N, L, 2] P(time,
+    channel); ref [T, L, 2] P(time).
+
+    Use it with ``cfg.fft_impl='mxu'`` (or 'pallas'): the four-step matmul
+    formulation contains no FFT custom-call, so GSPMD partitions every op
+    (XLA's FFT runtime rejects the partitioner's non-major layouts,
+    observed on CPU).
+    """
+    from jax.sharding import NamedSharding
+
+    from coherent_rtlsdr_tpu.pipeline.offline import align_offline
+
+    sig_sh = NamedSharding(mesh, P(TIME_AXIS, CHANNEL_AXIS, None, None))
+    ref_sh = NamedSharding(mesh, P(TIME_AXIS, None, None))
+
+    @jax.jit
+    def fn(sig_u8, ref_u8):
+        sig_u8 = jax.lax.with_sharding_constraint(sig_u8, sig_sh)
+        ref_u8 = jax.lax.with_sharding_constraint(ref_u8, ref_sh)
+        res = align_offline(cfg, sig_u8, ref_u8, smoothing=smoothing)
+        return res
+
+    def run(sig_u8, ref_u8):
+        sig_u8 = jax.device_put(sig_u8, sig_sh)
+        ref_u8 = jax.device_put(ref_u8, ref_sh)
+        return fn(sig_u8, ref_u8)
+
+    return run
+
+
 def make_sharded_step(cfg: PipelineConfig, mesh, donate: bool = True):
     """Streaming step sharded over the ``channel`` axis (the online path:
     one block at a time, channels split across chips, reference replicated).

@@ -90,6 +90,21 @@ class TestPallasFFT:
         err = float(jnp.sqrt(jnp.mean(jnp.abs(y - x) ** 2))) / rms
         assert err < 2e-2, err
 
+    def test_tiled_matches_single(self):
+        """tile=8 stacked-matmul path must equal the per-transform path
+        (batch divisible by the tile exercises the tiled kernel)."""
+        from coherent_rtlsdr_tpu.kernels.pallas_fft import FFT4StepPallas
+
+        f1 = FFT4StepPallas(W, tile=1)
+        f8 = FFT4StepPallas(W, tile=8)
+        x = _noise(jax.random.PRNGKey(12), (16, W))
+        d1, d8 = f1.fft(x), f8.fft(x)
+        scale = float(jnp.max(jnp.abs(d1)))
+        assert float(jnp.max(jnp.abs(d8 - d1))) / scale < 1e-5
+        y1, y8 = f1.ifft(d1), f8.ifft(d1)
+        scale = float(jnp.max(jnp.abs(y1)))
+        assert float(jnp.max(jnp.abs(y8 - y1))) / scale < 1e-5
+
     def test_pipeline_backend(self):
         """fft_impl='pallas' end to end on a short capture."""
         from coherent_rtlsdr_tpu.pipeline import PipelineConfig, init_state, step

@@ -73,6 +73,34 @@ class TestShardedAlign:
             make_sharded_align(cfg, make_mesh(2, 4), smoothing="ema")
 
 
+class TestAutoShardedAlign:
+    @pytest.mark.parametrize("smoothing", ["global", "ema"])
+    def test_matches_unsharded_exactly(self, smoothing):
+        """GSPMD partitioning must be numerically transparent — including
+        the EMA associative scan across time shards."""
+        from coherent_rtlsdr_tpu.parallel import make_auto_sharded_align
+
+        L2 = 2048  # 2L = 4096 = 64^2 for the matmul-FFT backend
+        truth = make_truth(8, seed=4, max_delay=30.0, snr_db=30.0)
+        cap = synth_capture(
+            jax.random.PRNGKey(4), truth, n_blocks=8, block_len=L2
+        )
+        # matmul-FFT backend: no FFT custom-call, fully GSPMD-partitionable
+        cfg = PipelineConfig(
+            n_channels=8, block_len=L2, fft_impl="mxu", mxu_precision="f32"
+        )
+        mesh = make_mesh(4, 2)
+        run = make_auto_sharded_align(cfg, mesh, smoothing=smoothing)
+        rs = run(cap.sig_u8, cap.ref_u8)
+        ru = align_offline(cfg, cap.sig_u8, cap.ref_u8, smoothing=smoothing)
+        np.testing.assert_allclose(
+            np.asarray(rs.delay), np.asarray(ru.delay), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(rs.aligned), np.asarray(ru.aligned), atol=1e-3
+        )
+
+
 class TestShardedStep:
     def test_matches_unsharded_step(self):
         truth, cap = _capture(n_channels=8, n_blocks=4, seed=1)
