@@ -49,6 +49,7 @@ class SyntheticStreamSource:
         self._jax = jax
         self._slab_idx = 0
         self._blk_in_slab = 0
+        self._resume = None
         self._sig = None
         self._ref = None
         self._seqnums = np.zeros(len(truth.delays), np.uint32)
@@ -78,8 +79,7 @@ class SyntheticStreamSource:
         )
         self.serials.append(serial)
         self._seqnums = np.append(self._seqnums, 0).astype(np.uint32)
-        self._sig = None  # force slab regeneration
-        self._prev = None
+        self._invalidate_slab()
         return len(self.serials) - 1
 
     def del_channel(self, serial: str) -> Optional[int]:
@@ -100,25 +100,40 @@ class SyntheticStreamSource:
         )
         self.serials.pop(i)
         self._seqnums = self._seqnums[keep]
+        self._invalidate_slab()
+        return i
+
+    def _invalidate_slab(self):
+        """Drop the rendered slab but remember the stream position: the
+        ref timeline is a pure function of (seed, block index), so the
+        regenerated slab resumes sample-exact where the old one stopped —
+        hot-plug (console add/del) never disturbs surviving channels."""
+        if self._sig is not None:
+            self._resume = (self._slab_idx - 1, self._blk_in_slab)
         self._sig = None
         self._prev = None
-        return i
 
     def _fill_slab(self):
         # Generate on host CPU: the source stands in for host-side hardware
         # capture, and this environment's per-op remote TPU compiles make
         # eager device-side generation pathological. The TPU only ever sees
-        # the jitted pipeline.
+        # the jitted pipeline. synth_stream_slab keeps consecutive slabs
+        # sample-exact continuous (overlap-save windows span slab seams).
+        from coherent_rtlsdr_tpu.signal.synth import synth_stream_slab
+
+        slab_idx, offset = self._slab_idx, 0
+        if self._resume is not None:
+            slab_idx, offset = self._resume
+            self._resume = None
         cpu = self._jax.devices("cpu")[0]
         with self._jax.default_device(cpu):
-            key = self._jax.random.PRNGKey(self._seed + 1000 + self._slab_idx)
-            cap = self._synth(
-                key, self._truth, n_blocks=self._slab, block_len=self._L
+            sig_u8, ref_u8 = synth_stream_slab(
+                self._seed, self._truth, slab_idx, self._slab, self._L
             )
-            self._sig = np.asarray(cap.sig_u8)
-            self._ref = np.asarray(cap.ref_u8)
-        self._slab_idx += 1
-        self._blk_in_slab = 0
+            self._sig = np.asarray(sig_u8)
+            self._ref = np.asarray(ref_u8)
+        self._slab_idx = slab_idx + 1
+        self._blk_in_slab = offset
 
     def next_block(self) -> Block:
         if self._sig is None or self._blk_in_slab >= self._slab:

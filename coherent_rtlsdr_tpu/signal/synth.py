@@ -145,3 +145,81 @@ def synth_capture(
     return SynthCapture(
         ref_u8=ref_u8, sig_u8=sig_u8, ref_clean=ref_clean, truth=truth, block_len=L
     )
+
+
+def _ref_block(seed: int, g: int, L: int, amplitude: float, dtype) -> jnp.ndarray:
+    """Reference noise for global block index ``g`` — a pure function of
+    (seed, g), so any slab of the stream regenerates identically."""
+    k = jax.random.fold_in(jax.random.PRNGKey(seed), 0x5EED + g)
+    re = jax.random.normal(k, (L,), dtype=jnp.float32)
+    im = jax.random.normal(jax.random.fold_in(k, 1), (L,), dtype=jnp.float32)
+    return (re + 1j * im).astype(dtype) * amplitude
+
+
+def synth_stream_slab(
+    seed: int,
+    truth: ChannelTruth,
+    slab_idx: int,
+    slab_blocks: int,
+    block_len: int = 8192,
+    amplitude: float = 0.25,
+    dtype=jnp.complex64,
+):
+    """One slab of a CONTINUOUS synthetic stream: slab ``i`` followed by slab
+    ``i+1`` is sample-exact identical to generating both at once.
+
+    Continuity matters: the pipeline's overlap-save windows span block
+    boundaries, and a per-slab independent realization would put a
+    discontinuous seam under one window per slab — the aligned output then
+    contains |delay| samples pulled across the seam, a measured
+    ~|d|/L correlation loss on every 16th frame. Here the reference noise
+    is a counter-keyed function of the global block index, each slab is
+    rendered with one margin block of context on both sides, channels are
+    delayed/skewed over the extended window, and only the interior is
+    emitted (margin >= max|delay| + Farrow tail).
+
+    Returns ``(sig_u8 [S, N, L, 2], ref_u8 [S, L, 2])``.
+    """
+    N = len(truth.delays)
+    S, L = slab_blocks, block_len
+    if np.max(np.abs(truth.delays)) + 8 > L:
+        raise ValueError("synth_stream_slab needs max|delay| + 8 <= block_len")
+    g0 = slab_idx * S
+    # Extended window: one margin block before, and enough after to make the
+    # total a power of two (delay_ramp's exact mod-W ramp needs pow2; the
+    # extra margin blocks are real future stream content, so continuity
+    # holds). Global blocks [g0-1, g0-1+E).
+    E = _next_pow2(S + 2)
+    blocks = [
+        _ref_block(seed, g, L, amplitude, dtype) for g in range(g0 - 1, g0 - 1 + E)
+    ]
+    ref_ext = jnp.concatenate(blocks)                       # [E*L]
+    W = ref_ext.shape[0]
+
+    delays = jnp.asarray(truth.delays)
+    F_ref = jnp.fft.fft(ref_ext)
+    delayed = jnp.fft.ifft(F_ref[None, :] * delay_ramp(W, delays), axis=-1)
+
+    if np.any(truth.ppm != 0.0):
+        # Skew advance is a function of ABSOLUTE stream time (continuous
+        # across slabs), not slab-local time.
+        t_abs = (g0 - 1) * L + jnp.arange(W, dtype=jnp.float32)
+        adv = -jnp.asarray(truth.ppm)[:, None] * 1e-6 * t_abs[None, :]
+        delayed = farrow_fractional_delay(delayed, adv)
+
+    rot = jnp.asarray(truth.gains) * jnp.exp(1j * jnp.asarray(truth.phases))
+    sig = delayed * rot[:, None].astype(dtype)
+
+    snr_lin = 10.0 ** (truth.snr_db / 10.0)
+    noise_amp = amplitude / np.sqrt(snr_lin)
+    kn = jax.random.fold_in(jax.random.PRNGKey(seed), 0xA0A0 + slab_idx)
+    noise = (
+        jax.random.normal(kn, (N, S * L), dtype=jnp.float32)
+        + 1j * jax.random.normal(jax.random.fold_in(kn, 1), (N, S * L), dtype=jnp.float32)
+    ).astype(dtype) * noise_amp
+
+    interior = sig[:, L: (S + 1) * L] + noise               # [N, S*L]
+    ref_int = ref_ext[L: (S + 1) * L]
+    ref_u8 = quantize_u8(ref_int.reshape(S, L))
+    sig_u8 = quantize_u8(interior.reshape(N, S, L).transpose(1, 0, 2))
+    return sig_u8, ref_u8
