@@ -62,8 +62,8 @@ def _inputs(T=None):
     return jnp.asarray(sig), jnp.asarray(ref)
 
 
-def bench_offline(n_iters=8):
-    cfg = PipelineConfig(n_channels=N_CH, block_len=L)
+def bench_offline(n_iters=8, **cfg_kw):
+    cfg = PipelineConfig(n_channels=N_CH, block_len=L, **cfg_kw)
     sig, ref = _inputs(T_BLOCKS)
 
     @jax.jit
@@ -81,8 +81,8 @@ def bench_offline(n_iters=8):
     return (T_BLOCKS - 1) * N_CH * L / dt
 
 
-def bench_streaming_scan(n_iters=8):
-    cfg = PipelineConfig(n_channels=N_CH, block_len=L)
+def bench_streaming_scan(n_iters=8, **cfg_kw):
+    cfg = PipelineConfig(n_channels=N_CH, block_len=L, **cfg_kw)
     sig, ref = _inputs(SCAN_K)
     gate = jnp.array(True)
 
@@ -125,11 +125,18 @@ def bench_streaming_single(n_iters=32):
     return N_CH * L / dt
 
 
+FUSED = dict(fft_impl="fused", lag_method="phase_zoom")
+
+
 def main():
     offline = bench_offline()
+    offline_fused = bench_offline(**FUSED)
     scan = bench_streaming_scan()
+    scan_fused = bench_streaming_scan(**FUSED)
     single = bench_streaming_single()
-    value = max(offline, scan)
+    best_off = max(offline, offline_fused)
+    best_scan = max(scan, scan_fused)
+    value = max(best_off, best_scan)
     print(
         json.dumps(
             {
@@ -138,9 +145,13 @@ def main():
                 "unit": "samples/s/chip",
                 "vs_baseline": round(value / BASELINE_SAMPLES_PER_S, 3),
                 "offline_samples_per_s": round(offline, 1),
+                "offline_fused_samples_per_s": round(offline_fused, 1),
                 "streaming_scan8_samples_per_s": round(scan, 1),
+                "streaming_scan8_fused_samples_per_s": round(scan_fused, 1),
                 "streaming_single_samples_per_s": round(single, 1),
-                "streaming_realtime_factor": round(scan / BASELINE_SAMPLES_PER_S, 3),
+                "streaming_realtime_factor": round(
+                    best_scan / BASELINE_SAMPLES_PER_S, 3
+                ),
                 "device": str(jax.devices()[0]),
             }
         )

@@ -1,16 +1,43 @@
 """Spectral backend selection: one interface over the XLA-FFT natural-order
-path and the MXU four-step permuted path, so the pipeline code is written
-once (pipeline/step.py, pipeline/offline.py)."""
+path, the MXU four-step permuted path, and the fully-fused Pallas
+mega-kernel path, so the pipeline code is written once (pipeline/step.py,
+pipeline/offline.py).
 
-import dataclasses
-from typing import Optional
+All backends implement the 3-op pipeline interface:
 
+    ctx = sp.prepare(w_sig, w_ref)      # window spectra / kernel inputs
+    est = sp.measure(ctx, method)       # LagEstimate over [..., N]
+    y   = sp.correct(ctx, advance)      # aligned center half [..., N, L]
+
+plus the lower-level fft/ifft/lag_estimate/apply_advance ops (used by
+analysis code and the non-fused backends themselves). ``w_sig`` is
+``[..., N, W]`` complex time windows, ``w_ref`` ``[..., W]``; ``correct``
+returns the overlap-save center half ``y[..., W/4:3W/4]``.
+"""
+
+from typing import NamedTuple
+
+import jax
 import jax.numpy as jnp
 
 from coherent_rtlsdr_tpu.kernels.fft4step import FFT4Step, supported_fft_len
 from coherent_rtlsdr_tpu.kernels import permuted as perm
 from coherent_rtlsdr_tpu.ops.delay import apply_delay_phase_freq
-from coherent_rtlsdr_tpu.ops.xcorr import lag_estimate_from_spectra
+from coherent_rtlsdr_tpu.ops.xcorr import LagEstimate, lag_estimate_from_spectra
+
+
+def _vmap_leading(fn, ndim_core, *args):
+    """vmap ``fn`` over any leading batch dims of args[0] beyond ndim_core."""
+    extra = args[0].ndim - ndim_core
+    f = fn
+    for _ in range(extra):
+        f = jax.vmap(f)
+    return f(*args)
+
+
+class _Ctx(NamedTuple):
+    F_sig: jnp.ndarray   # [..., N, spectrum]
+    F_ref: jnp.ndarray   # [..., spectrum]
 
 
 class XlaSpectral:
@@ -30,6 +57,22 @@ class XlaSpectral:
 
     def apply_advance(self, S, advance, phase):
         return apply_delay_phase_freq(S, advance, phase)
+
+    # -- pipeline interface --------------------------------------------
+    def prepare(self, w_sig, w_ref):
+        return _Ctx(self.fft(w_sig), self.fft(w_ref))
+
+    def measure(self, ctx, method):
+        return _vmap_leading(
+            lambda fs, fr: lag_estimate_from_spectra(fs, fr, method=method),
+            2, ctx.F_sig, ctx.F_ref,
+        )
+
+    def correct(self, ctx, advance):
+        W = self.fft_len
+        y = self.ifft(self.apply_advance(
+            ctx.F_sig, advance, jnp.ones((), jnp.complex64)))
+        return y[..., W // 4: W // 4 + W // 2]
 
 
 class MxuSpectral:
@@ -59,18 +102,112 @@ class MxuSpectral:
         # spectra [..., N, m, m].
         return perm.apply_delay_phase_permuted(self._fft, S, advance, phase)
 
+    # -- pipeline interface --------------------------------------------
+    def prepare(self, w_sig, w_ref):
+        return _Ctx(self.fft(w_sig), self.fft(w_ref))
+
+    def measure(self, ctx, method):
+        return _vmap_leading(
+            lambda fs, fr: perm.lag_estimate_permuted(
+                self._fft, fs, fr, method=method),
+            3, ctx.F_sig, ctx.F_ref,
+        )
+
+    def correct(self, ctx, advance):
+        W = self.fft_len
+        y = self.ifft(self.apply_advance(
+            ctx.F_sig, advance, jnp.ones((), jnp.complex64)))
+        return y[..., W // 4: W // 4 + W // 2]
+
+
+class _FusedCtx(NamedTuple):
+    xre: jnp.ndarray   # [B, N, m, m] time windows
+    xim: jnp.ndarray
+    rre: jnp.ndarray   # [B, m, m] permuted ref spectra
+    rim: jnp.ndarray
+
+
+class FusedSpectral:
+    """Single-kernel measure/apply (kernels/pallas_fused.py): spectra never
+    leave VMEM. Lag estimation is the phase-zoom algorithm (IFFT-free),
+    computed inside the measure kernel."""
+
+    def __init__(self, fft_len: int):
+        from coherent_rtlsdr_tpu.kernels.pallas_fused import FusedPipelineKernels
+        from coherent_rtlsdr_tpu.kernels.pallas_fft import FFT4StepPallas
+
+        self._k = FusedPipelineKernels(fft_len)
+        self._reffft = FFT4StepPallas(fft_len)
+        self.fft_len = fft_len
+
+    # low-level ops delegate to the pallas four-step (analysis callers)
+    def fft(self, x):
+        return self._reffft.fft(x)
+
+    def ifft(self, S):
+        return self._reffft.ifft(S)
+
+    # -- pipeline interface --------------------------------------------
+    def prepare(self, w_sig, w_ref):
+        # Windows and ref spectra are stored bf16: the kernels cast to bf16
+        # for the MXU matmuls anyway, so this halves the kernels' input DMA
+        # (the dominant cost at the ~100 GB/s Pallas DMA floor) for free.
+        m = self._k.m
+        lead = w_sig.shape[:-2]
+        N = w_sig.shape[-2]
+        xs = w_sig.reshape((-1, N, m, m))
+        R = self._reffft.fft(w_ref.reshape((-1, self.fft_len)))
+        return _FusedCtx(
+            xre=jnp.real(xs).astype(jnp.bfloat16),
+            xim=jnp.imag(xs).astype(jnp.bfloat16),
+            rre=jnp.real(R).astype(jnp.bfloat16),
+            rim=jnp.imag(R).astype(jnp.bfloat16),
+        ), lead
+
+    def measure(self, ctx_lead, method):
+        if method not in ("phase_zoom", "auto"):
+            raise ValueError(
+                "fft_impl='fused' computes lag in-kernel with the phase_zoom "
+                f"estimator; set lag_method='phase_zoom' (got '{method}')"
+            )
+        ctx, lead = ctx_lead
+        lag, zabs, esig = self._k.measure(ctx.xre, ctx.xim, ctx.rre, ctx.rim)
+        rre = ctx.rre.astype(jnp.float32)
+        rim = ctx.rim.astype(jnp.float32)
+        e_ref = jnp.sum(rre * rre + rim * rim, axis=(-2, -1))  # [B]
+        denom = jnp.sqrt(esig * e_ref[:, None])
+        mag = zabs / jnp.where(denom > 0, denom, 1.0)
+        N = lag.shape[-1]
+        shp = lead + (N,)
+        return LagEstimate(
+            lag=lag.reshape(shp), mag=mag.reshape(shp),
+            papr=jnp.zeros(shp, jnp.float32),
+        )
+
+    def correct(self, ctx_lead, advance):
+        ctx, lead = ctx_lead
+        N = ctx.xre.shape[1]
+        adv = jnp.asarray(advance, jnp.float32).reshape((-1, N))
+        yre, yim = self._k.apply(ctx.xre, ctx.xim, adv)
+        y = (yre + 1j * yim).astype(jnp.complex64)
+        return y.reshape(lead + (N, self.fft_len // 2))
+
 
 def get_spectral(cfg, fft_len: int):
     """Pick the backend from PipelineConfig.fft_impl ('xla' | 'mxu' |
-    'pallas' | 'auto'). 'auto' uses MXU when the length is a supported
-    square."""
+    'pallas' | 'fused' | 'auto'). 'auto' uses MXU when the length is a
+    supported square."""
     impl = getattr(cfg, "fft_impl", "xla")
-    if impl in ("mxu", "pallas") or (impl == "auto" and supported_fft_len(fft_len)):
+    if impl in ("mxu", "pallas", "fused") or (
+        impl == "auto" and supported_fft_len(fft_len)
+    ):
         if not supported_fft_len(fft_len):
             raise ValueError(
                 f"fft_impl='{impl}' needs a square fft_len in "
                 f"{{4096, 16384, 65536}}, got {fft_len}"
             )
+        if impl == "fused":
+            return FusedSpectral(fft_len)
         return MxuSpectral(
             fft_len,
             precision=getattr(cfg, "mxu_precision", "bf16"),

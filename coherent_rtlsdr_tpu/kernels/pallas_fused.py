@@ -1,0 +1,331 @@
+"""Fully-fused measure/apply mega-kernels (fft_impl='fused').
+
+The pipeline's per-window dataflow is
+
+    measure:  window --FFT--> D --x conj(R)--> G --phase-zoom--> (lag, mag)
+    apply:    window --FFT--> D --x ramp(delay)--> --IFFT--> center half
+
+On this backend the Pallas DMA floor (~100 GB/s effective, docs/PERF.md)
+makes total HBM bytes the cost model, so each side is ONE kernel whose
+spectra never leave VMEM:
+
+  * ``measure``: forward four-step FFT (MXU, bf16), conjugate-multiply with
+    the reference spectrum, then the complete two-stage banded phase-slope
+    ("phase_zoom", ops/xcorr.py:_phase_zoom_estimate) *inside the kernel* —
+    band sums become tiny MXU matmuls against 0/1 selection matrices, the
+    stage-1 integer lag feeds the stage-2 deramp without ever leaving the
+    kernel. HBM: read one window + the ref spectrum, write 3 scalars.
+  * ``apply``: forward FFT, fractional-advance ramp built in-kernel from the
+    delay scalar (exact mod-W integer ramp via the power-of-two byte split),
+    inverse four-step computing ONLY the overlap-save center rows
+    (m/4..3m/4) of the final matmul. HBM: read one window, write half a
+    window.
+
+Per 16K window this is ~460 KB of DMA versus ~1.2 MB for the composed
+pallas-FFT path (forward kernel + eager conj-mul + eager estimate + eager
+ramp + inverse kernel), and 2 kernel launches versus 6+ passes.
+
+Replaces (capability-wise) the reference's ccoherent::computelag batched
+FFTW pass (src/ccoherent.cc:154-239) and its disabled fractional-peak
+estimator (ccoherent.cc:206-222); the estimator here is the working
+phase-zoom (see ops/xcorr.py for the algorithm notes).
+
+Layout identities for the permuted (k2, k1) spectrum (kernels/permuted.py):
+natural bin k = k2 + m*k1, so 8-bin stage-1 bands are row groups within a
+column (selection matmul P @ G), and 2m-bin stage-2 bands are column pairs
+(selection matmul Gc @ Q summed over rows).
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from coherent_rtlsdr_tpu.kernels.fft4step import _dft_matrix, _twiddle
+
+_TWO_PI = 2.0 * np.pi
+
+
+def _iramp_fraction(k_grid, d_int, W):
+    """Exact ``(k * d) mod W / W`` phase fraction for integer d (int32).
+
+    W is a power of two here, so mod is a bitwise AND; the byte split keeps
+    every int32 product below 2^25 (same trick as ops/delay.py /
+    kernels/permuted.py, valid for W <= 2^16).
+    """
+    mask = W - 1
+    dm = d_int & mask          # two's-complement AND == mod for pow2 W
+    d0 = dm & 255
+    d1 = dm >> 8
+    r0 = (k_grid * d0) & mask
+    r1 = (((k_grid << 8) & mask) * d1) & mask
+    return ((r0 + r1) & mask).astype(jnp.float32) * (1.0 / W)
+
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _atan2(y, x):
+    """Four-quadrant arctangent — Mosaic has no atan2 primitive, so: odd
+    minimax polynomial for atan on [0, 1] (max err ~3e-6 rad, three orders
+    below the estimators' noise floor) + octant/quadrant reconstruction."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.maximum(hi, 1e-30)
+    s = t * t
+    p = jnp.float32(-0.01172120)
+    p = p * s + jnp.float32(0.05265332)
+    p = p * s + jnp.float32(-0.11643287)
+    p = p * s + jnp.float32(0.19354346)
+    p = p * s + jnp.float32(-0.33262347)
+    p = p * s + jnp.float32(0.99997726)
+    r = t * p
+    r = jnp.where(ay > ax, jnp.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0, jnp.float32(np.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _measure_kernel(
+    fre_ref, fim_ref, tre_ref, tim_ref, kg_ref, fg_ref, p_ref, q_ref,
+    xre_ref, xim_ref, rre_ref, rim_ref,
+    lag_ref, mag_ref, esig_ref,
+    *, W: int,
+):
+    m = fre_ref.shape[0]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    fre = fre_ref[:].astype(jnp.bfloat16)
+    fim = fim_ref[:].astype(jnp.bfloat16)
+
+    # --- forward four-step FFT (VMEM-resident) --------------------------
+    are = xre_ref[0, 0].astype(jnp.bfloat16)
+    aim = xim_ref[0, 0].astype(jnp.bfloat16)
+    bre = dot(fre, are) - dot(fim, aim)
+    bim = dot(fre, aim) + dot(fim, are)
+    tre = tre_ref[:]
+    tim = tim_ref[:]
+    cre, cim = _cmul(bre, bim, tre, tim)
+    dre = dot(cre.astype(jnp.bfloat16), fre) - dot(cim.astype(jnp.bfloat16), fim)
+    dim = dot(cre.astype(jnp.bfloat16), fim) + dot(cim.astype(jnp.bfloat16), fre)
+
+    # --- cross-spectrum G = D * conj(R) ---------------------------------
+    rre = rre_ref[0].astype(jnp.float32)
+    rim = rim_ref[0].astype(jnp.float32)
+    gre = dre * rre + dim * rim
+    gim = dim * rre - dre * rim
+
+    # --- stage 1: 8-bin bands as a selection matmul, coarse slope -------
+    # Gb1[j, k1] = sum of rows 8j..8j+7 of column k1; natural band index
+    # b = k1*(m/8) + j. Adjacent-band products stay within a column except
+    # at the j-wrap (band (m/8-1, k1) -> (0, k1+1)); the Nyquist straddle
+    # (natural b = W/16 - 1) is always the column boundary k1 = m/2 - 1.
+    p = p_ref[:]                       # [m/8, m] row-group selector
+    g1re = dot(p, gre)                 # [m/8, m]
+    g1im = dot(p, gim)
+    in_re = g1re[1:, :] * g1re[:-1, :] + g1im[1:, :] * g1im[:-1, :]
+    in_im = g1im[1:, :] * g1re[:-1, :] - g1re[1:, :] * g1im[:-1, :]
+    bd_re = g1re[0:1, 1:] * g1re[-1:, :-1] + g1im[0:1, 1:] * g1im[-1:, :-1]
+    bd_im = g1im[0:1, 1:] * g1re[-1:, :-1] - g1re[0:1, 1:] * g1im[-1:, :-1]
+    nyq = 1.0 - (jax.lax.broadcasted_iota(jnp.int32, (1, m - 1), 1)
+                 == (m // 2 - 1)).astype(jnp.float32)
+    s1re = jnp.sum(in_re) + jnp.sum(bd_re * nyq)
+    s1im = jnp.sum(in_im) + jnp.sum(bd_im * nyq)
+    M1 = W // 8
+    d1 = -_atan2(s1im, s1re) * (M1 / _TWO_PI)
+    int_lag = jnp.round(d1)
+
+    # --- stage 2: deramp by the integer lag, 2m-bin bands ---------------
+    kg = kg_ref[:]
+    ph = _iramp_fraction(kg, (-int_lag).astype(jnp.int32), W) * _TWO_PI
+    wr = jnp.cos(ph)
+    wi = -jnp.sin(ph)
+    gcre, gcim = _cmul(gre, gim, wr, wi)
+
+    q = q_ref[:]                       # [m, m/2] column-pair selector
+    ones_row = jnp.ones((1, m), jnp.float32)
+    g2re = dot(ones_row, dot(gcre, q))  # [1, m/2]
+    g2im = dot(ones_row, dot(gcim, q))
+    M2 = m // 2
+    p2re = g2re[:, 1:] * g2re[:, :-1] + g2im[:, 1:] * g2im[:, :-1]
+    p2im = g2im[:, 1:] * g2re[:, :-1] - g2re[:, 1:] * g2im[:, :-1]
+    nyq2 = 1.0 - (jax.lax.broadcasted_iota(jnp.int32, (1, M2 - 1), 1)
+                  == (M2 // 2 - 1)).astype(jnp.float32)
+    s2re = jnp.sum(p2re * nyq2)
+    s2im = jnp.sum(p2im * nyq2)
+    frac = jnp.clip(-_atan2(s2im, s2re) * (M2 / _TWO_PI), -4.0, 4.0)
+
+    # --- correlation value at the fractional lag + window energy --------
+    fg = fg_ref[:]                     # signed frequency (cycles/sample)
+    phf = (_TWO_PI * frac) * fg
+    zr = jnp.cos(phf)
+    zi = jnp.sin(phf)
+    zre, zim = _cmul(gcre, gcim, zr, zi)
+    z_re = jnp.sum(zre)
+    z_im = jnp.sum(zim)
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    lag_ref[i, j] = int_lag + frac
+    mag_ref[i, j] = jnp.sqrt(z_re * z_re + z_im * z_im)
+    esig_ref[i, j] = jnp.sum(dre * dre + dim * dim)
+
+
+def _apply_kernel(
+    fre_ref, fim_ref, tre_ref, tim_ref, fire_ref, fiim_ref, kg_ref, fg_ref,
+    xre_ref, xim_ref, adv_ref,
+    yre_ref, yim_ref,
+    *, W: int,
+):
+    m = fre_ref.shape[0]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    fre = fre_ref[:].astype(jnp.bfloat16)
+    fim = fim_ref[:].astype(jnp.bfloat16)
+
+    # --- forward four-step ---------------------------------------------
+    are = xre_ref[0, 0].astype(jnp.bfloat16)
+    aim = xim_ref[0, 0].astype(jnp.bfloat16)
+    bre = dot(fre, are) - dot(fim, aim)
+    bim = dot(fre, aim) + dot(fim, are)
+    tre = tre_ref[:]
+    tim = tim_ref[:]
+    cre, cim = _cmul(bre, bim, tre, tim)
+    dre = dot(cre.astype(jnp.bfloat16), fre) - dot(cim.astype(jnp.bfloat16), fim)
+    dim = dot(cre.astype(jnp.bfloat16), fim) + dot(cim.astype(jnp.bfloat16), fre)
+
+    # --- fractional-advance ramp (ops/delay.py semantics: delay = -adv,
+    # ramp = exp(-2*pi*i*(int_ramp(floor(d)) + f_signed*frac(d)))) ---------
+    d = -adv_ref[pl.program_id(0), pl.program_id(1)]
+    di = jnp.floor(d)
+    df = d - di
+    ph = _iramp_fraction(kg_ref[:], di.astype(jnp.int32), W) + fg_ref[:] * df
+    ph = ph * _TWO_PI
+    wr = jnp.cos(ph)
+    wi = -jnp.sin(ph)
+    gre, gim = _cmul(dre, dim, wr, wi)
+
+    # --- inverse four-step, center rows only ----------------------------
+    fire = fire_ref[:].astype(jnp.bfloat16)   # conj(F)/m
+    fiim = fiim_ref[:].astype(jnp.bfloat16)
+    g16re = gre.astype(jnp.bfloat16)
+    g16im = gim.astype(jnp.bfloat16)
+    c2re = dot(g16re, fire) - dot(g16im, fiim)
+    c2im = dot(g16re, fiim) + dot(g16im, fire)
+    b2re, b2im = _cmul(c2re, c2im, tre, -tim)  # conj twiddle
+    # Output rows m/4..3m/4 of A = Fi @ B are time samples W/4..3W/4 — the
+    # overlap-save center half. Half the matmul, half the writeback.
+    fh_re = fire[m // 4: 3 * m // 4, :]
+    fh_im = fiim[m // 4: 3 * m // 4, :]
+    b16re = b2re.astype(jnp.bfloat16)
+    b16im = b2im.astype(jnp.bfloat16)
+    yre_ref[0, 0] = dot(fh_re, b16re) - dot(fh_im, b16im)
+    yim_ref[0, 0] = dot(fh_re, b16im) + dot(fh_im, b16re)
+
+
+class FusedPipelineKernels:
+    """measure/apply mega-kernels for one ``fft_len = m*m``.
+
+    Tables are built once (compile-time constants under jit);
+    ``interpret=None`` auto-selects interpreter mode off-TPU.
+    """
+
+    def __init__(self, fft_len: int, interpret=None):
+        m = int(round(np.sqrt(fft_len)))
+        if m * m != fft_len or m % 8:
+            raise ValueError(f"fft_len {fft_len} unsupported (need square, m%8==0)")
+        self.fft_len = fft_len
+        self.m = m
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu",)
+        self._interpret = bool(interpret)
+
+        fre, fim = _dft_matrix(m)
+        tre, tim = _twiddle(m)
+        k2 = np.arange(m, dtype=np.int32)[:, None]
+        k1 = np.arange(m, dtype=np.int32)[None, :]
+        kg = k2 + m * k1
+        fg = np.where(kg < fft_len // 2, kg, kg - fft_len).astype(np.float32) / fft_len
+        # stage-1 row-group selector [m/8, m] and stage-2 column-pair
+        # selector [m, m/2]
+        p = np.zeros((m // 8, m), np.float32)
+        for j in range(m // 8):
+            p[j, 8 * j: 8 * j + 8] = 1.0
+        q = np.zeros((m, m // 2), np.float32)
+        for b in range(m // 2):
+            q[2 * b: 2 * b + 2, b] = 1.0
+        self._t = {
+            "fre": jnp.asarray(fre), "fim": jnp.asarray(fim),
+            "tre": jnp.asarray(tre), "tim": jnp.asarray(tim),
+            "fire": jnp.asarray(fre / m), "fiim": jnp.asarray(-fim / m),
+            "kg": jnp.asarray(kg), "fg": jnp.asarray(fg),
+            "p": jnp.asarray(p), "q": jnp.asarray(q),
+        }
+
+    # ------------------------------------------------------------------
+    def measure(
+        self, xre: jnp.ndarray, xim: jnp.ndarray,
+        rre: jnp.ndarray, rim: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """xre/xim ``[B, N, m, m]`` time windows (row-major reshape of
+        [B, N, W]); rre/rim ``[B, m, m]`` permuted ref spectra. Returns
+        (lag, |z|, sum|D|^2) each ``[B, N]``."""
+        B, N, m, _ = xre.shape
+        t = self._t
+        tab = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                     memory_space=pltpu.VMEM)
+        x_spec = pl.BlockSpec((1, 1, m, m), lambda i, j: (i, j, 0, 0),
+                              memory_space=pltpu.VMEM)
+        r_spec = pl.BlockSpec((1, m, m), lambda i, j: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        out = pl.pallas_call(
+            functools.partial(_measure_kernel, W=self.fft_len),
+            grid=(B, N),
+            in_specs=[tab(t["fre"]), tab(t["fim"]), tab(t["tre"]), tab(t["tim"]),
+                      tab(t["kg"]), tab(t["fg"]), tab(t["p"]), tab(t["q"]),
+                      x_spec, x_spec, r_spec, r_spec],
+            out_specs=(s_spec, s_spec, s_spec),
+            out_shape=tuple(jax.ShapeDtypeStruct((B, N), jnp.float32)
+                            for _ in range(3)),
+            interpret=self._interpret,
+        )(t["fre"], t["fim"], t["tre"], t["tim"], t["kg"], t["fg"],
+          t["p"], t["q"], xre, xim, rre, rim)
+        return out
+
+    # ------------------------------------------------------------------
+    def apply(
+        self, xre: jnp.ndarray, xim: jnp.ndarray, advance: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """xre/xim ``[B, N, m, m]`` time windows; advance ``[B, N]``.
+        Returns the aligned overlap-save center half (yre, yim), each
+        ``[B, N, W/2]``."""
+        B, N, m, _ = xre.shape
+        t = self._t
+        tab = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                     memory_space=pltpu.VMEM)
+        x_spec = pl.BlockSpec((1, 1, m, m), lambda i, j: (i, j, 0, 0),
+                              memory_space=pltpu.VMEM)
+        a_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        y_spec = pl.BlockSpec((1, 1, m // 2, m), lambda i, j: (i, j, 0, 0),
+                              memory_space=pltpu.VMEM)
+        yre, yim = pl.pallas_call(
+            functools.partial(_apply_kernel, W=self.fft_len),
+            grid=(B, N),
+            in_specs=[tab(t["fre"]), tab(t["fim"]), tab(t["tre"]), tab(t["tim"]),
+                      tab(t["fire"]), tab(t["fiim"]), tab(t["kg"]), tab(t["fg"]),
+                      x_spec, x_spec, a_spec],
+            out_specs=(y_spec, y_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, N, m // 2, m), jnp.float32),
+                jax.ShapeDtypeStruct((B, N, m // 2, m), jnp.float32),
+            ),
+            interpret=self._interpret,
+        )(t["fre"], t["fim"], t["tre"], t["tim"], t["fire"], t["fiim"],
+          t["kg"], t["fg"], xre, xim, advance)
+        W2 = self.fft_len // 2
+        return yre.reshape(B, N, W2), yim.reshape(B, N, W2)

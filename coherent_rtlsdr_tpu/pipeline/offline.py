@@ -58,16 +58,10 @@ def _ema_scan(x: jnp.ndarray, alpha: float, w: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def measure_blocks(cfg: PipelineConfig, sp, F_sig: jnp.ndarray, F_ref: jnp.ndarray):
-    """Phase A measurement on precomputed window spectra.
-
-    F_sig: [T', N, ...spectrum]; F_ref: [T', ...spectrum] (natural-order
-    [W] or permuted [m, m] depending on the backend). Returns (lag, mag,
-    papr) each [T', N].
-    """
-    est = jax.vmap(
-        lambda fs, fr: sp.lag_estimate(fs, fr, cfg.lag_method)
-    )(F_sig, F_ref)
+def measure_blocks(cfg: PipelineConfig, sp, ctx):
+    """Phase A measurement on the prepared windows (spectra or fused-kernel
+    inputs, backend-dependent). Returns (lag, mag, papr) each [T', N]."""
+    est = sp.measure(ctx, cfg.lag_method)
     return est.lag, est.mag, est.papr
 
 
@@ -94,7 +88,7 @@ def smooth_delays(
 def apply_corrections(
     cfg: PipelineConfig,
     sp,
-    F_sig: jnp.ndarray,   # [T', N, ...spectrum]
+    ctx,                  # prepared windows (sp.prepare result)
     w_ref: jnp.ndarray,   # [T', W] time-domain reference windows
     delay: jnp.ndarray,   # [T', N]
     mag: jnp.ndarray,     # [T', N]
@@ -103,8 +97,7 @@ def apply_corrections(
 ):
     """Phase C: fractional advance + phase correction, overlap-save slicing."""
     L = cfg.block_len
-    y = sp.ifft(sp.apply_advance(F_sig, delay, jnp.ones((), jnp.complex64)))
-    out_raw = y[..., L // 2 : L // 2 + L]             # [T', N, L]
+    out_raw = sp.correct(ctx, delay)                   # [T', N, L]
     out_ref = w_ref[..., L // 2 : L // 2 + L]          # [T', L]
 
     pc_inst = jax.vmap(phase_correction_estimate)(out_raw, out_ref)  # [T', N]
@@ -140,14 +133,13 @@ def align_offline(
     w_ref = jnp.concatenate([ref[:-1], ref[1:]], axis=-1)
 
     sp = get_spectral(cfg, w_sig.shape[-1])
-    F_sig = sp.fft(w_sig)
-    F_ref = sp.fft(w_ref)
+    ctx = sp.prepare(w_sig, w_ref)
 
-    lag, mag, papr = measure_blocks(cfg, sp, F_sig, F_ref)
+    lag, mag, papr = measure_blocks(cfg, sp, ctx)
     delay = smooth_delays(cfg, lag, mag, smoothing)
     delay = jnp.clip(delay, -cfg.max_delay, cfg.max_delay)
     aligned, out_ref, pc = apply_corrections(
-        cfg, sp, F_sig, w_ref, delay, mag, smoothing
+        cfg, sp, ctx, w_ref, delay, mag, smoothing
     )
     return OfflineResult(
         aligned=aligned, ref=out_ref, lag=lag, delay=delay, mag=mag, papr=papr,

@@ -44,7 +44,9 @@ class PipelineConfig:
     # Minimum correlation coefficient to accept a lag measurement.
     min_corr_mag: float = 0.1
     # Spectral backend: "xla" (jnp.fft) | "mxu" (four-step matmul FFT,
-    # kernels/fft4step.py) | "auto" (mxu when 2L is a supported square).
+    # kernels/fft4step.py) | "pallas" (fused four-step kernel) | "fused"
+    # (single measure/apply mega-kernels, kernels/pallas_fused.py; requires
+    # lag_method="phase_zoom") | "auto" (mxu when 2L is a supported square).
     fft_impl: str = "xla"
     # MXU matmul precision: "bf16" (fast; error below the int8 wire
     # quantization step) | "f32" (XLA 3-pass, exact-ish).

@@ -62,15 +62,16 @@ def step(
 
     sp = get_spectral(cfg, 2 * L)
 
-    # One batched FFT pass over the streaming windows. (State history is
-    # stored as float pairs; complexify inside the program.)
+    # One window-preparation pass feeds both measurement and correction.
+    # (State history is stored as float pairs; complexify inside the
+    # program.) Backends: spectra for xla/mxu, fused Pallas mega-kernels
+    # for 'fused' (kernels/backend.py).
     w_sig = jnp.concatenate([f2c(state.hist), sig], axis=-1)       # [N, 2L]
     w_ref = jnp.concatenate([f2c(state.ref_hist), ref], axis=-1)   # [2L]
-    F_sig = sp.fft(w_sig)
-    F_ref = sp.fft(w_ref)
+    ctx = sp.prepare(w_sig, w_ref)
 
     # Measure absolute lag of every channel (ccoherent::computelag analog).
-    meas = sp.lag_estimate(F_sig, F_ref, cfg.lag_method)
+    meas = sp.measure(ctx, cfg.lag_method)
 
     # Control update (ccontrol analog, numerical).
     new_delay, new_synced = control_update(
@@ -78,10 +79,7 @@ def step(
     )
 
     # Apply the fractional advance in frequency domain; overlap-save slice.
-    y = sp.ifft(
-        sp.apply_advance(F_sig, new_delay, jnp.ones((), jnp.complex64))
-    )
-    out_raw = y[:, L // 2 : L // 2 + L]                 # [N, L] time-aligned
+    out_raw = sp.correct(ctx, new_delay)                # [N, L] time-aligned
     out_ref = w_ref[L // 2 : L // 2 + L]                # [L] same latency
 
     # Phase estimation on the time-aligned signal (est_phasecorrect analog),

@@ -205,3 +205,110 @@ class TestPipelineBackendEquivalence:
         err = np.abs(np.asarray(rm.aligned) - np.asarray(rx.aligned))
         rms = np.sqrt(np.mean(np.abs(np.asarray(rx.aligned)) ** 2))
         assert err.max() / rms < 0.05
+
+
+class TestFusedKernels:
+    """Fused measure/apply mega-kernels (kernels/pallas_fused.py) vs the
+    composed XLA path (interpreter mode on CPU; compiled on TPU)."""
+
+    def _windows(self, key, n_ch=3, lags=(4.25, -33.7, 0.0)):
+        from coherent_rtlsdr_tpu.ops.delay import delay_ramp
+
+        ref = _noise(key, (W,))
+        F_ref = jnp.fft.fft(ref)
+        F_sig = F_ref[None, :] * delay_ramp(W, jnp.array(lags, jnp.float32))
+        sig = jnp.fft.ifft(F_sig, axis=-1).astype(jnp.complex64)
+        return sig, ref
+
+    def test_measure_matches_xla_phase_zoom(self):
+        from coherent_rtlsdr_tpu.kernels.backend import FusedSpectral, XlaSpectral
+
+        sig, ref = self._windows(jax.random.PRNGKey(21))
+        fused = FusedSpectral(W)
+        xla = XlaSpectral(W)
+        ef = fused.measure(fused.prepare(sig, ref), "phase_zoom")
+        ex = xla.measure(xla.prepare(sig, ref), "phase_zoom")
+        np.testing.assert_allclose(
+            np.asarray(ef.lag), np.asarray(ex.lag), atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(ef.mag), np.asarray(ex.mag), rtol=3e-2
+        )
+
+    def test_measure_batched_leading_dim(self):
+        from coherent_rtlsdr_tpu.kernels.backend import FusedSpectral, XlaSpectral
+
+        key = jax.random.PRNGKey(22)
+        sig = jnp.stack([self._windows(k)[0] for k in jax.random.split(key, 2)])
+        ref = jnp.stack([self._windows(k)[1] for k in jax.random.split(key, 2)])
+        fused = FusedSpectral(W)
+        xla = XlaSpectral(W)
+        ef = fused.measure(fused.prepare(sig, ref), "phase_zoom")
+        ex = xla.measure(xla.prepare(sig, ref), "phase_zoom")
+        assert ef.lag.shape == (2, 3)
+        np.testing.assert_allclose(
+            np.asarray(ef.lag), np.asarray(ex.lag), atol=5e-3
+        )
+
+    def test_correct_matches_xla_center_half(self):
+        from coherent_rtlsdr_tpu.kernels.backend import FusedSpectral, XlaSpectral
+
+        sig, ref = self._windows(jax.random.PRNGKey(23))
+        adv = jnp.array([4.25, -33.7, 0.0], jnp.float32)
+        fused = FusedSpectral(W)
+        xla = XlaSpectral(W)
+        yf = fused.correct(fused.prepare(sig, ref), adv)
+        yx = xla.correct(xla.prepare(sig, ref), adv)
+        assert yf.shape == (3, W // 2)
+        rms = float(jnp.sqrt(jnp.mean(jnp.abs(yx) ** 2)))
+        err = float(jnp.sqrt(jnp.mean(jnp.abs(yf - yx) ** 2))) / rms
+        assert err < 2e-2, err  # bf16 matmuls vs f32 FFT
+
+    def test_measure_rejects_other_methods(self):
+        from coherent_rtlsdr_tpu.kernels.backend import FusedSpectral
+
+        sig, ref = self._windows(jax.random.PRNGKey(24))
+        fused = FusedSpectral(W)
+        with pytest.raises(ValueError):
+            fused.measure(fused.prepare(sig, ref), "phase_slope")
+
+    def test_step_fused_converges(self):
+        """fft_impl='fused' end to end on a short synthetic capture."""
+        from coherent_rtlsdr_tpu.pipeline import PipelineConfig, init_state, step
+        from coherent_rtlsdr_tpu.signal import make_truth, synth_capture
+
+        L = 2048
+        truth = make_truth(3, seed=3, max_delay=30.0, snr_db=30.0)
+        cap = synth_capture(jax.random.PRNGKey(3), truth, n_blocks=8, block_len=L)
+        cfg = PipelineConfig(
+            n_channels=3, block_len=L, fft_impl="fused", lag_method="phase_zoom"
+        )
+        state = init_state(cfg)
+        gate = jnp.array(True)
+        jstep = jax.jit(lambda s, a, b: step(cfg, s, a, b, gate))
+        for t in range(8):
+            state, out = jstep(state, cap.sig_u8[t], cap.ref_u8[t])
+        np.testing.assert_allclose(np.asarray(state.delay), truth.delays, atol=0.1)
+        assert bool(jnp.all(state.synced))
+
+    def test_offline_fused_matches_xla(self):
+        from coherent_rtlsdr_tpu.pipeline import PipelineConfig, align_offline
+        from coherent_rtlsdr_tpu.signal import make_truth, synth_capture
+
+        L = 2048
+        truth = make_truth(4, seed=4, max_delay=30.0, snr_db=30.0)
+        cap = synth_capture(jax.random.PRNGKey(4), truth, n_blocks=8, block_len=L)
+        cfg_x = PipelineConfig(
+            n_channels=4, block_len=L, fft_impl="xla", lag_method="phase_zoom"
+        )
+        cfg_f = PipelineConfig(
+            n_channels=4, block_len=L, fft_impl="fused", lag_method="phase_zoom"
+        )
+        rx = jax.jit(lambda s, r: align_offline(cfg_x, s, r))(cap.sig_u8, cap.ref_u8)
+        rf = jax.jit(lambda s, r: align_offline(cfg_f, s, r))(cap.sig_u8, cap.ref_u8)
+        np.testing.assert_allclose(
+            np.asarray(rf.delay), np.asarray(rx.delay), atol=2e-2
+        )
+        err = np.abs(np.asarray(rf.aligned) - np.asarray(rx.aligned))
+        rms = np.sqrt(np.mean(np.abs(np.asarray(rx.aligned)) ** 2))
+        assert err.max() / rms < 0.06
