@@ -3,16 +3,19 @@ path, the MXU four-step permuted path, and the fully-fused Pallas
 mega-kernel path, so the pipeline code is written once (pipeline/step.py,
 pipeline/offline.py).
 
-All backends implement the 3-op pipeline interface:
+All backends implement the 3-op pipeline interface over STREAM BLOCKS
+(the overlap-save window of output slot t is blocks (t, t+1)):
 
-    ctx = sp.prepare(w_sig, w_ref)      # window spectra / kernel inputs
-    est = sp.measure(ctx, method)       # LagEstimate over [..., N]
-    y   = sp.correct(ctx, advance)      # aligned center half [..., N, L]
+    ctx = sp.prepare(sig_blocks, ref_blocks)  # [T, N, L] / [T, L] complex
+    est = sp.measure(ctx, method)             # LagEstimate over [T-1, N]
+    y   = sp.correct(ctx, advance)            # aligned center half [T-1, N, L]
 
 plus the lower-level fft/ifft/lag_estimate/apply_advance ops (used by
-analysis code and the non-fused backends themselves). ``w_sig`` is
-``[..., N, W]`` complex time windows, ``w_ref`` ``[..., W]``; ``correct``
-returns the overlap-save center half ``y[..., W/4:3W/4]``.
+analysis code and the non-fused backends themselves). xla/mxu assemble
+2L windows and take spectra; the fused backend stores the blocks once as
+bf16 planes and assembles windows inside its mega-kernels
+(kernels/pallas_fused.py). ``correct`` returns the overlap-save center
+half ``y[..., W/4:3W/4]`` per window.
 """
 
 from typing import NamedTuple
@@ -59,7 +62,9 @@ class XlaSpectral:
         return apply_delay_phase_freq(S, advance, phase)
 
     # -- pipeline interface --------------------------------------------
-    def prepare(self, w_sig, w_ref):
+    def prepare(self, sig_blocks, ref_blocks):
+        w_sig = jnp.concatenate([sig_blocks[:-1], sig_blocks[1:]], axis=-1)
+        w_ref = jnp.concatenate([ref_blocks[:-1], ref_blocks[1:]], axis=-1)
         return _Ctx(self.fft(w_sig), self.fft(w_ref))
 
     def measure(self, ctx, method):
@@ -103,7 +108,9 @@ class MxuSpectral:
         return perm.apply_delay_phase_permuted(self._fft, S, advance, phase)
 
     # -- pipeline interface --------------------------------------------
-    def prepare(self, w_sig, w_ref):
+    def prepare(self, sig_blocks, ref_blocks):
+        w_sig = jnp.concatenate([sig_blocks[:-1], sig_blocks[1:]], axis=-1)
+        w_ref = jnp.concatenate([ref_blocks[:-1], ref_blocks[1:]], axis=-1)
         return _Ctx(self.fft(w_sig), self.fft(w_ref))
 
     def measure(self, ctx, method):
@@ -121,9 +128,9 @@ class MxuSpectral:
 
 
 class _FusedCtx(NamedTuple):
-    xre: jnp.ndarray   # [B, N, m, m] time windows
-    xim: jnp.ndarray
-    rre: jnp.ndarray   # [B, m, m] permuted ref spectra
+    pre: jnp.ndarray   # [T, N, m/2, m] bf16 block planes
+    pim: jnp.ndarray
+    rre: jnp.ndarray   # [T-1, m, m] bf16 permuted ref window spectra
     rim: jnp.ndarray
 
 
@@ -148,49 +155,44 @@ class FusedSpectral:
         return self._reffft.ifft(S)
 
     # -- pipeline interface --------------------------------------------
-    def prepare(self, w_sig, w_ref):
-        # Windows and ref spectra are stored bf16: the kernels cast to bf16
-        # for the MXU matmuls anyway, so this halves the kernels' input DMA
-        # (the dominant cost at the ~100 GB/s Pallas DMA floor) for free.
+    def prepare(self, sig_blocks, ref_blocks):
+        # Blocks are stored ONCE as bf16 planes (the kernels cast to bf16
+        # for the MXU anyway): no 2L-window materialization, no complex64
+        # intermediates, half the input DMA at the ~100 GB/s Pallas DMA
+        # floor. The u8->c64->planes chain fuses into one XLA pass.
         m = self._k.m
-        lead = w_sig.shape[:-2]
-        N = w_sig.shape[-2]
-        xs = w_sig.reshape((-1, N, m, m))
-        R = self._reffft.fft(w_ref.reshape((-1, self.fft_len)))
+        T, N, L = sig_blocks.shape
+        ps = sig_blocks.reshape(T, N, m // 2, m)
+        w_ref = jnp.concatenate([ref_blocks[:-1], ref_blocks[1:]], axis=-1)
+        R = self._reffft.fft(w_ref)
         return _FusedCtx(
-            xre=jnp.real(xs).astype(jnp.bfloat16),
-            xim=jnp.imag(xs).astype(jnp.bfloat16),
+            pre=jnp.real(ps).astype(jnp.bfloat16),
+            pim=jnp.imag(ps).astype(jnp.bfloat16),
             rre=jnp.real(R).astype(jnp.bfloat16),
             rim=jnp.imag(R).astype(jnp.bfloat16),
-        ), lead
+        )
 
-    def measure(self, ctx_lead, method):
+    def measure(self, ctx, method):
         if method not in ("phase_zoom", "auto"):
             raise ValueError(
                 "fft_impl='fused' computes lag in-kernel with the phase_zoom "
                 f"estimator; set lag_method='phase_zoom' (got '{method}')"
             )
-        ctx, lead = ctx_lead
-        lag, zabs, esig = self._k.measure(ctx.xre, ctx.xim, ctx.rre, ctx.rim)
+        lag, zabs, esig, eg = self._k.measure(ctx.pre, ctx.pim, ctx.rre, ctx.rim)
         rre = ctx.rre.astype(jnp.float32)
         rim = ctx.rim.astype(jnp.float32)
-        e_ref = jnp.sum(rre * rre + rim * rim, axis=(-2, -1))  # [B]
+        e_ref = jnp.sum(rre * rre + rim * rim, axis=(-2, -1))  # [T-1]
         denom = jnp.sqrt(esig * e_ref[:, None])
         mag = zabs / jnp.where(denom > 0, denom, 1.0)
-        N = lag.shape[-1]
-        shp = lead + (N,)
-        return LagEstimate(
-            lag=lag.reshape(shp), mag=mag.reshape(shp),
-            papr=jnp.zeros(shp, jnp.float32),
-        )
+        # Parseval PAPR: peak|c| ~ |z|/W, mean|c|^2 = sum|G|^2/W^2.
+        papr = zabs * zabs / jnp.where(eg > 0, eg, 1.0)
+        return LagEstimate(lag=lag, mag=mag, papr=papr)
 
-    def correct(self, ctx_lead, advance):
-        ctx, lead = ctx_lead
-        N = ctx.xre.shape[1]
-        adv = jnp.asarray(advance, jnp.float32).reshape((-1, N))
-        yre, yim = self._k.apply(ctx.xre, ctx.xim, adv)
-        y = (yre + 1j * yim).astype(jnp.complex64)
-        return y.reshape(lead + (N, self.fft_len // 2))
+    def correct(self, ctx, advance):
+        T1, N = ctx.pre.shape[0] - 1, ctx.pre.shape[1]
+        adv = jnp.asarray(advance, jnp.float32).reshape((T1, N))
+        yre, yim = self._k.apply(ctx.pre, ctx.pim, adv)
+        return (yre + 1j * yim).astype(jnp.complex64)
 
 
 def get_spectral(cfg, fft_len: int):

@@ -2,33 +2,39 @@
 
 The pipeline's per-window dataflow is
 
-    measure:  window --FFT--> D --x conj(R)--> G --phase-zoom--> (lag, mag)
+    measure:  window --FFT--> D --x conj(R)--> G --phase-zoom--> (lag, mag,
+              papr)
     apply:    window --FFT--> D --x ramp(delay)--> --IFFT--> center half
 
 On this backend the Pallas DMA floor (~100 GB/s effective, docs/PERF.md)
 makes total HBM bytes the cost model, so each side is ONE kernel whose
-spectra never leave VMEM:
+spectra never leave VMEM, and the overlap-save windows themselves are
+assembled *inside* the kernel from two consecutive stream blocks (the
+window of block t is blocks (t, t+1)): each block plane is stored ONCE in
+HBM as bf16 and read by the kernels as two half-window refs — no 2x window
+materialization, no complex64 intermediates, no separate bf16 cast pass.
+The first FFT matmul splits over the halves: B = F[:, :m/2] @ A_top +
+F[:, m/2:] @ A_bot (same FLOPs, zero concatenation).
 
   * ``measure``: forward four-step FFT (MXU, bf16), conjugate-multiply with
     the reference spectrum, then the complete two-stage banded phase-slope
     ("phase_zoom", ops/xcorr.py:_phase_zoom_estimate) *inside the kernel* —
     band sums become tiny MXU matmuls against 0/1 selection matrices, the
     stage-1 integer lag feeds the stage-2 deramp without ever leaving the
-    kernel. HBM: read one window + the ref spectrum, write 3 scalars.
+    kernel. PAPR comes free via Parseval: peak ~ |z|/W, mean|c|^2 =
+    sum|G|^2/W^2, so papr = |z|^2 / sum|G|^2. HBM: read one window + the
+    ref spectrum, write 4 scalars.
   * ``apply``: forward FFT, fractional-advance ramp built in-kernel from the
     delay scalar (exact mod-W integer ramp via the power-of-two byte split),
     inverse four-step computing ONLY the overlap-save center rows
     (m/4..3m/4) of the final matmul. HBM: read one window, write half a
     window.
 
-Per 16K window this is ~460 KB of DMA versus ~1.2 MB for the composed
-pallas-FFT path (forward kernel + eager conj-mul + eager estimate + eager
-ramp + inverse kernel), and 2 kernel launches versus 6+ passes.
-
 Replaces (capability-wise) the reference's ccoherent::computelag batched
-FFTW pass (src/ccoherent.cc:154-239) and its disabled fractional-peak
-estimator (ccoherent.cc:206-222); the estimator here is the working
-phase-zoom (see ops/xcorr.py for the algorithm notes).
+FFTW pass (src/ccoherent.cc:154-239), its disabled fractional-peak
+estimator (ccoherent.cc:206-222), and its stubbed PAPR
+(cdsp.cc:85-88) — the estimator here is the working phase-zoom (see
+ops/xcorr.py for the algorithm notes).
 
 Layout identities for the permuted (k2, k1) spectrum (kernels/permuted.py):
 natural bin k = k2 + m*k1, so 8-bin stage-1 bands are row groups within a
@@ -92,27 +98,44 @@ def _atan2(y, x):
     return jnp.where(y < 0, -r, r)
 
 
+def _forward_fft_split(dot, fre, fim, tre, tim, tr_ref, ti_ref, br_ref, bi_ref):
+    """Forward four-step FFT of a window given as two half-window block refs
+    (top = earlier block rows 0..m/2-1, bottom = later block): the first
+    matmul splits over the column halves of F, so the window is never
+    concatenated. Returns permuted spectrum (dre, dim) f32."""
+    m = fre.shape[0]
+    fl_re, fr_re = fre[:, : m // 2], fre[:, m // 2:]
+    fl_im, fr_im = fim[:, : m // 2], fim[:, m // 2:]
+    at_re = tr_ref[0, 0]          # [m/2, m] bf16
+    at_im = ti_ref[0, 0]
+    ab_re = br_ref[0, 0]
+    ab_im = bi_ref[0, 0]
+    bre = (dot(fl_re, at_re) - dot(fl_im, at_im)
+           + dot(fr_re, ab_re) - dot(fr_im, ab_im))
+    bim = (dot(fl_re, at_im) + dot(fl_im, at_re)
+           + dot(fr_re, ab_im) + dot(fr_im, ab_re))
+    cre, cim = _cmul(bre, bim, tre, tim)
+    dre = dot(cre.astype(jnp.bfloat16), fre) - dot(cim.astype(jnp.bfloat16), fim)
+    dim = dot(cre.astype(jnp.bfloat16), fim) + dot(cim.astype(jnp.bfloat16), fre)
+    return dre, dim
+
+
 def _measure_kernel(
     fre_ref, fim_ref, tre_ref, tim_ref, kg_ref, fg_ref, p_ref, q_ref,
-    xre_ref, xim_ref, rre_ref, rim_ref,
-    lag_ref, mag_ref, esig_ref,
+    xtr_ref, xti_ref, xbr_ref, xbi_ref, rre_ref, rim_ref,
+    lag_ref, mag_ref, esig_ref, eg_ref,
     *, W: int,
 ):
     m = fre_ref.shape[0]
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     fre = fre_ref[:].astype(jnp.bfloat16)
     fim = fim_ref[:].astype(jnp.bfloat16)
-
-    # --- forward four-step FFT (VMEM-resident) --------------------------
-    are = xre_ref[0, 0].astype(jnp.bfloat16)
-    aim = xim_ref[0, 0].astype(jnp.bfloat16)
-    bre = dot(fre, are) - dot(fim, aim)
-    bim = dot(fre, aim) + dot(fim, are)
     tre = tre_ref[:]
     tim = tim_ref[:]
-    cre, cim = _cmul(bre, bim, tre, tim)
-    dre = dot(cre.astype(jnp.bfloat16), fre) - dot(cim.astype(jnp.bfloat16), fim)
-    dim = dot(cre.astype(jnp.bfloat16), fim) + dot(cim.astype(jnp.bfloat16), fre)
+
+    dre, dim = _forward_fft_split(
+        dot, fre, fim, tre, tim, xtr_ref, xti_ref, xbr_ref, xbi_ref
+    )
 
     # --- cross-spectrum G = D * conj(R) ---------------------------------
     rre = rre_ref[0].astype(jnp.float32)
@@ -160,7 +183,7 @@ def _measure_kernel(
     s2im = jnp.sum(p2im * nyq2)
     frac = jnp.clip(-_atan2(s2im, s2re) * (M2 / _TWO_PI), -4.0, 4.0)
 
-    # --- correlation value at the fractional lag + window energy --------
+    # --- correlation value at the fractional lag + energies -------------
     fg = fg_ref[:]                     # signed frequency (cycles/sample)
     phf = (_TWO_PI * frac) * fg
     zr = jnp.cos(phf)
@@ -174,11 +197,12 @@ def _measure_kernel(
     lag_ref[i, j] = int_lag + frac
     mag_ref[i, j] = jnp.sqrt(z_re * z_re + z_im * z_im)
     esig_ref[i, j] = jnp.sum(dre * dre + dim * dim)
+    eg_ref[i, j] = jnp.sum(gre * gre + gim * gim)
 
 
 def _apply_kernel(
     fre_ref, fim_ref, tre_ref, tim_ref, fire_ref, fiim_ref, kg_ref, fg_ref,
-    xre_ref, xim_ref, adv_ref,
+    xtr_ref, xti_ref, xbr_ref, xbi_ref, adv_ref,
     yre_ref, yim_ref,
     *, W: int,
 ):
@@ -186,17 +210,12 @@ def _apply_kernel(
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     fre = fre_ref[:].astype(jnp.bfloat16)
     fim = fim_ref[:].astype(jnp.bfloat16)
-
-    # --- forward four-step ---------------------------------------------
-    are = xre_ref[0, 0].astype(jnp.bfloat16)
-    aim = xim_ref[0, 0].astype(jnp.bfloat16)
-    bre = dot(fre, are) - dot(fim, aim)
-    bim = dot(fre, aim) + dot(fim, are)
     tre = tre_ref[:]
     tim = tim_ref[:]
-    cre, cim = _cmul(bre, bim, tre, tim)
-    dre = dot(cre.astype(jnp.bfloat16), fre) - dot(cim.astype(jnp.bfloat16), fim)
-    dim = dot(cre.astype(jnp.bfloat16), fim) + dot(cim.astype(jnp.bfloat16), fre)
+
+    dre, dim = _forward_fft_split(
+        dot, fre, fim, tre, tim, xtr_ref, xti_ref, xbr_ref, xbi_ref
+    )
 
     # --- fractional-advance ramp (ops/delay.py semantics: delay = -adv,
     # ramp = exp(-2*pi*i*(int_ramp(floor(d)) + f_signed*frac(d)))) ---------
@@ -230,8 +249,12 @@ def _apply_kernel(
 class FusedPipelineKernels:
     """measure/apply mega-kernels for one ``fft_len = m*m``.
 
-    Tables are built once (compile-time constants under jit);
-    ``interpret=None`` auto-selects interpreter mode off-TPU.
+    Block-plane layout: the stream's blocks (length L = W/2) are stored as
+    separate re/im bf16 planes reshaped ``[T, N, m/2, m]`` (row r = samples
+    [r*m, (r+1)*m) of the block); the window of output slot t is blocks
+    (t, t+1), read by the kernels as two refs of the SAME plane arrays with
+    index maps t and t+1. Tables are built once (compile-time constants
+    under jit); ``interpret=None`` auto-selects interpreter mode off-TPU.
     """
 
     def __init__(self, fft_len: int, interpret=None):
@@ -266,66 +289,71 @@ class FusedPipelineKernels:
             "p": jnp.asarray(p), "q": jnp.asarray(q),
         }
 
+    def _block_specs(self, m):
+        half_t = pl.BlockSpec((1, 1, m // 2, m), lambda i, j: (i, j, 0, 0),
+                              memory_space=pltpu.VMEM)
+        half_b = pl.BlockSpec((1, 1, m // 2, m), lambda i, j: (i + 1, j, 0, 0),
+                              memory_space=pltpu.VMEM)
+        return half_t, half_b
+
     # ------------------------------------------------------------------
     def measure(
-        self, xre: jnp.ndarray, xim: jnp.ndarray,
+        self, pre: jnp.ndarray, pim: jnp.ndarray,
         rre: jnp.ndarray, rim: jnp.ndarray,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """xre/xim ``[B, N, m, m]`` time windows (row-major reshape of
-        [B, N, W]); rre/rim ``[B, m, m]`` permuted ref spectra. Returns
-        (lag, |z|, sum|D|^2) each ``[B, N]``."""
-        B, N, m, _ = xre.shape
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """pre/pim ``[T, N, m/2, m]`` bf16 block planes; rre/rim
+        ``[T-1, m, m]`` permuted ref window spectra. Returns
+        (lag, |z|, sum|D|^2, sum|G|^2) each ``[T-1, N]``."""
+        T, N, m2, m = pre.shape
         t = self._t
         tab = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
                                      memory_space=pltpu.VMEM)
-        x_spec = pl.BlockSpec((1, 1, m, m), lambda i, j: (i, j, 0, 0),
-                              memory_space=pltpu.VMEM)
+        half_t, half_b = self._block_specs(m)
         r_spec = pl.BlockSpec((1, m, m), lambda i, j: (i, 0, 0),
                               memory_space=pltpu.VMEM)
         s_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         out = pl.pallas_call(
             functools.partial(_measure_kernel, W=self.fft_len),
-            grid=(B, N),
+            grid=(T - 1, N),
             in_specs=[tab(t["fre"]), tab(t["fim"]), tab(t["tre"]), tab(t["tim"]),
                       tab(t["kg"]), tab(t["fg"]), tab(t["p"]), tab(t["q"]),
-                      x_spec, x_spec, r_spec, r_spec],
-            out_specs=(s_spec, s_spec, s_spec),
-            out_shape=tuple(jax.ShapeDtypeStruct((B, N), jnp.float32)
-                            for _ in range(3)),
+                      half_t, half_t, half_b, half_b, r_spec, r_spec],
+            out_specs=(s_spec, s_spec, s_spec, s_spec),
+            out_shape=tuple(jax.ShapeDtypeStruct((T - 1, N), jnp.float32)
+                            for _ in range(4)),
             interpret=self._interpret,
         )(t["fre"], t["fim"], t["tre"], t["tim"], t["kg"], t["fg"],
-          t["p"], t["q"], xre, xim, rre, rim)
+          t["p"], t["q"], pre, pim, pre, pim, rre, rim)
         return out
 
     # ------------------------------------------------------------------
     def apply(
-        self, xre: jnp.ndarray, xim: jnp.ndarray, advance: jnp.ndarray
+        self, pre: jnp.ndarray, pim: jnp.ndarray, advance: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """xre/xim ``[B, N, m, m]`` time windows; advance ``[B, N]``.
-        Returns the aligned overlap-save center half (yre, yim), each
-        ``[B, N, W/2]``."""
-        B, N, m, _ = xre.shape
+        """pre/pim ``[T, N, m/2, m]`` bf16 block planes; advance
+        ``[T-1, N]``. Returns the aligned overlap-save center half
+        (yre, yim), each ``[T-1, N, W/2]``."""
+        T, N, m2, m = pre.shape
         t = self._t
         tab = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
                                      memory_space=pltpu.VMEM)
-        x_spec = pl.BlockSpec((1, 1, m, m), lambda i, j: (i, j, 0, 0),
-                              memory_space=pltpu.VMEM)
+        half_t, half_b = self._block_specs(m)
         a_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         y_spec = pl.BlockSpec((1, 1, m // 2, m), lambda i, j: (i, j, 0, 0),
                               memory_space=pltpu.VMEM)
         yre, yim = pl.pallas_call(
             functools.partial(_apply_kernel, W=self.fft_len),
-            grid=(B, N),
+            grid=(T - 1, N),
             in_specs=[tab(t["fre"]), tab(t["fim"]), tab(t["tre"]), tab(t["tim"]),
                       tab(t["fire"]), tab(t["fiim"]), tab(t["kg"]), tab(t["fg"]),
-                      x_spec, x_spec, a_spec],
+                      half_t, half_t, half_b, half_b, a_spec],
             out_specs=(y_spec, y_spec),
             out_shape=(
-                jax.ShapeDtypeStruct((B, N, m // 2, m), jnp.float32),
-                jax.ShapeDtypeStruct((B, N, m // 2, m), jnp.float32),
+                jax.ShapeDtypeStruct((T - 1, N, m // 2, m), jnp.float32),
+                jax.ShapeDtypeStruct((T - 1, N, m // 2, m), jnp.float32),
             ),
             interpret=self._interpret,
         )(t["fre"], t["fim"], t["tre"], t["tim"], t["fire"], t["fiim"],
-          t["kg"], t["fg"], xre, xim, advance)
+          t["kg"], t["fg"], pre, pim, pre, pim, advance)
         W2 = self.fft_len // 2
-        return yre.reshape(B, N, W2), yim.reshape(B, N, W2)
+        return yre.reshape(T - 1, N, W2), yim.reshape(T - 1, N, W2)

@@ -128,12 +128,13 @@ def align_offline(
     sig = u8_to_c64(sig_u8)  # [T, N, L]
     ref = u8_to_c64(ref_u8)  # [T, L]
 
-    # Streaming windows: w[t] = blocks (t, t+1) concatenated. [T-1, ., 2L]
-    w_sig = jnp.concatenate([sig[:-1], sig[1:]], axis=-1)
-    w_ref = jnp.concatenate([ref[:-1], ref[1:]], axis=-1)
+    # The backend assembles the streaming windows w[t] = blocks (t, t+1)
+    # itself (the fused backend never materializes them); w_ref is only
+    # needed here for the output/phase-reference slices.
+    w_ref = jnp.concatenate([ref[:-1], ref[1:]], axis=-1)  # [T-1, 2L]
 
-    sp = get_spectral(cfg, w_sig.shape[-1])
-    ctx = sp.prepare(w_sig, w_ref)
+    sp = get_spectral(cfg, 2 * cfg.block_len)
+    ctx = sp.prepare(sig, ref)
 
     lag, mag, papr = measure_blocks(cfg, sp, ctx)
     delay = smooth_delays(cfg, lag, mag, smoothing)

@@ -62,16 +62,18 @@ def step(
 
     sp = get_spectral(cfg, 2 * L)
 
-    # One window-preparation pass feeds both measurement and correction.
+    # One block-preparation pass feeds both measurement and correction;
+    # the window of this step is blocks (t-1, t) = (history, current).
     # (State history is stored as float pairs; complexify inside the
     # program.) Backends: spectra for xla/mxu, fused Pallas mega-kernels
     # for 'fused' (kernels/backend.py).
-    w_sig = jnp.concatenate([f2c(state.hist), sig], axis=-1)       # [N, 2L]
-    w_ref = jnp.concatenate([f2c(state.ref_hist), ref], axis=-1)   # [2L]
-    ctx = sp.prepare(w_sig, w_ref)
+    sig_blocks = jnp.stack([f2c(state.hist), sig])        # [2, N, L]
+    ref_blocks = jnp.stack([f2c(state.ref_hist), ref])    # [2, L]
+    ctx = sp.prepare(sig_blocks, ref_blocks)
 
     # Measure absolute lag of every channel (ccoherent::computelag analog).
-    meas = sp.measure(ctx, cfg.lag_method)
+    meas_b = sp.measure(ctx, cfg.lag_method)
+    meas = jax.tree_util.tree_map(lambda a: a[0], meas_b)
 
     # Control update (ccontrol analog, numerical).
     new_delay, new_synced = control_update(
@@ -79,8 +81,10 @@ def step(
     )
 
     # Apply the fractional advance in frequency domain; overlap-save slice.
-    out_raw = sp.correct(ctx, new_delay)                # [N, L] time-aligned
-    out_ref = w_ref[L // 2 : L // 2 + L]                # [L] same latency
+    out_raw = sp.correct(ctx, new_delay[None])[0]         # [N, L] aligned
+    out_ref = jnp.concatenate(
+        [f2c(state.ref_hist)[L // 2:], ref[: L // 2]]
+    )                                                     # [L] same latency
 
     # Phase estimation on the time-aligned signal (est_phasecorrect analog),
     # gated by the reference-noise flag (ccoherent.cc:271-273) and by
