@@ -44,6 +44,10 @@ def main():
         "--scan-depth", type=int, default=1,
         help="blocks per device dispatch (throughput mode; adds latency)",
     )
+    ap.add_argument(
+        "--interactive", action="store_true",
+        help="local stdin console next to the remote socket (console.cc:38-57)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -95,6 +99,8 @@ def main():
         f"coherent_rtlsdr_tpu server: {n} ch x {args.blocksize} @ {args.fs:.0f} "
         f"sps, data {args.address}, ctrl {args.ctrl_address}"
     )
+    if args.interactive:
+        server.start_local_console()
     published = server.run(max_blocks=args.blocks)
     print(f"published {published} frames")
 

@@ -14,6 +14,7 @@ the reference, SURVEY.md §5: "a restart requires full re-sync").
 """
 
 import json
+import logging
 import os
 import time
 from typing import Optional
@@ -23,6 +24,25 @@ import numpy as np
 from coherent_rtlsdr_tpu import constants
 from coherent_rtlsdr_tpu.io.console import ConsoleDispatcher
 from coherent_rtlsdr_tpu.pipeline.state import PipelineConfig, PipelineState
+from coherent_rtlsdr_tpu.utils.telemetry import TelemetryRecorder
+
+logger = logging.getLogger("coherent_rtlsdr_tpu")
+
+
+class _LogRing(logging.Handler):
+    """Captures the framework's log records into the console ``log``
+    command's drain list — the analog of the reference's librtlsdr
+    stderr-pipe capture (main.cc:63-70) drained by console.cc:422-427."""
+
+    def __init__(self, lines: list, maxlen: int = 1000):
+        super().__init__(level=logging.INFO)
+        self._lines = lines
+        self._maxlen = maxlen
+
+    def emit(self, record: logging.LogRecord) -> None:
+        self._lines.append(self.format(record))
+        if len(self._lines) > self._maxlen:
+            del self._lines[: len(self._lines) - self._maxlen]
 
 
 def _make_publisher(data_addr: str, debug_addr: str, header: bool):
@@ -76,6 +96,14 @@ class CoherentServer:
         self._do_exit = False
         self._resync_requested = False
         self._log_lines = []
+        self._log_handler = _LogRing(self._log_lines)
+        self._log_handler.setFormatter(
+            logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+        )
+        logger.addHandler(self._log_handler)
+        logger.setLevel(logging.INFO)
+        self.telemetry = TelemetryRecorder()
+        self._local_lines = None  # stdin queue when interactive (see run_interactive)
 
         if publisher is None:
             publisher = _make_publisher(data_addr, debug_addr, header)
@@ -99,8 +127,8 @@ class CoherentServer:
         from coherent_rtlsdr_tpu.ops.convert import c64_to_i8_iq
         from coherent_rtlsdr_tpu.pipeline import step
 
-        def _step(state, sig_u8, ref_u8, gate):
-            new_state, out = step(cfg, state, sig_u8, ref_u8, gate)
+        def _step(state, sig_u8, ref_u8, gate, seq):
+            new_state, out = step(cfg, state, sig_u8, ref_u8, gate, seq=seq)
             wire_sig = c64_to_i8_iq(out.aligned)        # [N, L, 2] int8
             wire_ref = c64_to_i8_iq(out.ref)            # [L, 2] int8
             return new_state, wire_sig, wire_ref, out.telemetry
@@ -128,7 +156,10 @@ class CoherentServer:
         new_cfg = dataclasses.replace(self.cfg, n_channels=len(row_map))
         new_state = init_state(new_cfg)
         updates = {}
-        for name in ("delay", "phase", "lag", "mag", "papr", "synced", "hist"):
+        for name in (
+            "delay", "phase", "lag", "mag", "papr", "synced", "hist",
+            "last_seq", "gaps",
+        ):
             old_leaf = np.asarray(getattr(old_state, name))
             new_leaf = np.asarray(getattr(new_state, name)).copy()
             for newi, oldi in enumerate(row_map):
@@ -212,12 +243,19 @@ class CoherentServer:
             if self._scan is not None and len(blocks) > 1:
                 sigs = jnp.asarray(np.stack([b[0] for b in blocks]))
                 refs = jnp.asarray(np.stack([b[1] for b in blocks]))
+                seqs = jnp.asarray(
+                    np.stack([b[2] for b in blocks]).astype(np.uint32)
+                )
                 self.state, (wire_sigs, wire_refs), telem = self._scan(
-                    self.state, sigs, refs, gate
+                    self.state, sigs, refs, gate, seqs
                 )
                 ws = np.asarray(wire_sigs)
                 wr = np.asarray(wire_refs)
                 ph = np.asarray(telem.phase, np.float32)
+                tl = {
+                    k: np.asarray(getattr(telem, k))
+                    for k in ("lag", "residual", "mag", "gap")
+                }
                 base_idx = int(np.asarray(self.state.block_idx)) - len(blocks)
                 for i, (_, _, seqnums) in enumerate(blocks):
                     frame = np.concatenate([wr[i][None], ws[i]], axis=0)
@@ -230,11 +268,16 @@ class CoherentServer:
                         ]
                     )
                     self.publisher.publish(frame, all_seq, phases)
+                    self._record_block(
+                        phases[1:], tl["lag"][i], tl["residual"][i],
+                        tl["mag"][i], tl["gap"][i],
+                    )
                     n += 1
             else:
                 for sig_u8, ref_u8, seqnums in blocks:
                     self.state, wire_sig, wire_ref, telem = self._step(
-                        self.state, jnp.asarray(sig_u8), jnp.asarray(ref_u8), gate
+                        self.state, jnp.asarray(sig_u8), jnp.asarray(ref_u8),
+                        gate, jnp.asarray(seqnums.astype(np.uint32)),
                     )
                     # Frame layout: channel 0 = reference (cpacketizer write
                     # order, ccoherent.cc:253). Phases on the debug port.
@@ -247,8 +290,13 @@ class CoherentServer:
                         [np.ones(1, np.complex64), self._fetch_phases(telem)]
                     )
                     self.publisher.publish(frame, all_seq, phases)
+                    self._record_block(
+                        phases[1:],
+                        np.asarray(telem.lag), np.asarray(telem.residual),
+                        np.asarray(telem.mag), np.asarray(telem.gap),
+                    )
                     n += 1
-            self.control.poll(self.dispatcher.dispatch)
+            self._poll_control()
         if self.state_path:
             self.save_state()
         return n
@@ -257,13 +305,51 @@ class CoherentServer:
         p = np.asarray(telem.phase, np.float32)  # [N, 2] (re, im)
         return (p[..., 0] + 1j * p[..., 1]).astype(np.complex64)
 
+    def _record_block(self, phases, lag, residual, mag, gap) -> None:
+        """Per-block observability: telemetry ring + gap-event log lines."""
+        self.telemetry.record(phase=phases, lag=lag, residual=residual, mag=mag)
+        if gap.any():
+            chans = np.nonzero(gap)[0]
+            logger.warning(
+                "seqnum gap on channel(s) %s at block %d — desynced",
+                ",".join(str(int(c)) for c in chans),
+                int(np.asarray(self.state.block_idx)),
+            )
+
+    def _poll_control(self) -> None:
+        """Drain the remote control socket and, when interactive, the local
+        stdin console (the reference runs both feeding one queue,
+        console.cc:38-81,371-374)."""
+        self.control.poll(self.dispatcher.dispatch)
+        q = self._local_lines
+        if q is not None:
+            while True:
+                try:
+                    line = q.get_nowait()
+                except Exception:
+                    break
+                out = self.dispatcher.dispatch(line)
+                if out:
+                    print(out, flush=True)
+
     # ---- console controller protocol ------------------------------------
 
     def get_fs(self):
         return self.fs
 
     def set_fs(self, v):
-        self.fs = v
+        """Retune the sample rate: rebuild the pipeline config (fs is a
+        static config field), push the rate to the source (the reference
+        retunes every dongle, console.cc:156-175), and force a full resync
+        (console.cc:168). State (calibration) survives — only sync flags
+        drop, exactly like the reference's behavior."""
+        import dataclasses
+
+        self.fs = float(v)
+        self.cfg = dataclasses.replace(self.cfg, fs=float(v))
+        if hasattr(self.source, "set_fs"):
+            self.source.set_fs(float(v))
+        self._build_jits(self.cfg)
         self.request_sync()  # fs change forces resync (console.cc:168)
 
     def get_fcenter(self):
@@ -279,12 +365,28 @@ class CoherentServer:
         synced = np.asarray(s.synced)
         lag = np.asarray(s.lag)
         mag = np.asarray(s.mag)
+        gaps = np.asarray(s.gaps)
         lines = [f"{int(synced.sum())} / {len(synced)} synchronized"]
         lines.append(
             "Reference noise ENABLED."
             if self.refnoise_enabled
             else "Reference noise DISABLED."
         )
+        # Live observability (absent in the reference, SURVEY.md §5): block
+        # rate / latency from the rolling timer, cumulative seqnum gaps, and
+        # the phasecorrectionplot.m drift metric as a number.
+        t = self.telemetry
+        bps = t.timer.blocks_per_s()
+        if bps == bps:  # not NaN
+            lines.append(
+                f"blocks/s: {bps:.1f}  mean block latency: "
+                f"{t.timer.mean_dt * 1e3:.2f} ms  "
+                f"throughput: {bps * len(synced) * self.cfg.block_len / 1e6:.3g} Msamp/s"
+            )
+        drift = t.phase_drift_deg_rms()
+        if drift == drift:
+            lines.append(f"phase drift: {drift:.2f} deg RMS over {len(t._data['phase'])} blocks")
+        lines.append(f"seqnum gaps: {int(gaps.sum())} total")
         cells = [
             f"ch{i}:{lag[i]:+4.3f}:{mag[i]:4.3f}" for i in range(len(synced))
         ]
@@ -343,8 +445,31 @@ class CoherentServer:
 
     def drain_log(self) -> str:
         out = "\n".join(self._log_lines)
-        self._log_lines = []
+        del self._log_lines[:]  # keep the handler's list identity
         return out
+
+    def start_local_console(self, stream=None) -> None:
+        """Local interactive console: a stdin reader thread feeding the same
+        dispatcher as the remote socket — the reference's ``localc`` readline
+        loop (src/console.cc:38-57) next to ``remotec``. Commands are drained
+        in the block loop (one queue, like console.cc:371-374)."""
+        import queue
+        import sys
+        import threading
+
+        stream = stream or sys.stdin
+        q = queue.Queue()
+        self._local_lines = q
+
+        def reader():
+            for line in stream:
+                q.put(line.rstrip("\n"))
+                if line.strip() == "quit":
+                    return
+
+        t = threading.Thread(target=reader, daemon=True, name="local-console")
+        t.start()
 
     def shutdown(self):
         self._do_exit = True
+        logger.removeHandler(self._log_handler)

@@ -131,10 +131,13 @@ def _phase_zoom_estimate(G: jnp.ndarray) -> LagEstimate:
     Skipping ifft+|.|^2+argmax removes three full-spectrum HBM passes from
     the measurement — the pipeline is bandwidth-bound (measured: MXU-matmul
     FFTs and XLA FFTs run at the same wall clock). The cost: unambiguous
-    range shrinks from W/2 to W/16 (still 1024 samples at W=16384), and no
-    PAPR (returned as 0 — quality gating uses mag, which here is the exact
-    correlation coefficient *at the fractional lag*, Sum(Gc)/W normalized,
-    rather than the sinc-corrected integer-peak value).
+    range shrinks from W/2 to W/16 (still 1024 samples at W=16384). PAPR
+    comes free via Parseval without the IFFT — peak |c| ~ |z|/W and
+    mean|c|^2 = sum|G|^2/W^2, so papr = |z|^2/sum|G|^2 — the same formula
+    as the fused Pallas kernel (kernels/pallas_fused.py), so telemetry PAPR
+    is consistent across backends. mag is the exact correlation coefficient
+    *at the fractional lag* (Sum(Gc)/W normalized) rather than the
+    sinc-corrected integer-peak value.
     """
     W = G.shape[-1]
     M1 = max(64, W // 8)
@@ -166,7 +169,8 @@ def _phase_zoom_estimate(G: jnp.ndarray) -> LagEstimate:
     # |z| <= sqrt(W * sum|G|^2) by Cauchy-Schwarz; for flat spectra
     # sum|G|^2/W ~ E_sig*E_ref/W^2 * W ... use the direct energies instead:
     mag = jnp.abs(z)  # caller normalizes; see lag_estimate_from_spectra
-    return LagEstimate(lag=int_lag + frac, mag=mag, papr=jnp.zeros_like(frac))
+    papr = mag * mag / jnp.where(e2 > 0, e2, 1.0)
+    return LagEstimate(lag=int_lag + frac, mag=mag, papr=papr)
 
 
 def lag_estimate_from_spectra(

@@ -151,6 +151,8 @@ def state_partition_spec():
         hist=P(CHANNEL_AXIS, None, None),
         ref_hist=P(None, None),
         block_idx=P(),
+        last_seq=P(CHANNEL_AXIS),
+        gaps=P(CHANNEL_AXIS),
     )
 
 
@@ -232,7 +234,7 @@ def make_sharded_step(cfg: PipelineConfig, mesh, donate: bool = True):
     tspec = Telemetry(
         lag=P(CHANNEL_AXIS), residual=P(CHANNEL_AXIS), mag=P(CHANNEL_AXIS),
         papr=P(CHANNEL_AXIS), phase=P(CHANNEL_AXIS, None), synced=P(CHANNEL_AXIS),
-        rms=P(CHANNEL_AXIS),
+        rms=P(CHANNEL_AXIS), gap=P(CHANNEL_AXIS), gaps=P(CHANNEL_AXIS),
     )
     ospec = BlockOutput(aligned=P(CHANNEL_AXIS, None), ref=P(None), telemetry=tspec)
 

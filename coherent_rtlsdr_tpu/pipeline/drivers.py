@@ -23,13 +23,14 @@ from coherent_rtlsdr_tpu.pipeline.step import step
 
 
 def make_scan_runner(cfg: PipelineConfig, emit_wire: bool = True, donate: bool = True):
-    """Returns jitted ``run(state, sig_u8 [K,N,L,2], ref_u8 [K,L,2], gate)``
-    -> ``(state, outputs)`` where outputs are stacked over K: int8 wire
-    blocks (or raw aligned float pairs) + telemetry."""
+    """Returns jitted ``run(state, sig_u8 [K,N,L,2], ref_u8 [K,L,2], gate,
+    seqs=None)`` -> ``(state, outputs)`` where outputs are stacked over K:
+    int8 wire blocks (or raw aligned float pairs) + telemetry. ``seqs``
+    ([K, N] uint32) enables in-pipeline gap detection (see step())."""
 
-    def scan_fn(state, sigs, refs, gate):
+    def scan_fn(state, sigs, refs, gate, seqs=None):
         def body(s, blk):
-            s2, out = step(cfg, s, blk[0], blk[1], gate)
+            s2, out = step(cfg, s, blk[0], blk[1], gate, seq=blk[2])
             if emit_wire:
                 payload = (c64_to_i8_iq(out.aligned), c64_to_i8_iq(out.ref))
             else:
@@ -38,7 +39,10 @@ def make_scan_runner(cfg: PipelineConfig, emit_wire: bool = True, donate: bool =
                 payload = (c2f(out.aligned), c2f(out.ref))
             return s2, (payload, out.telemetry)
 
-        state, (payloads, telem) = jax.lax.scan(body, state, (sigs, refs))
+        if seqs is None:
+            seqs = (state.last_seq[None, :]
+                    + jnp.arange(1, sigs.shape[0] + 1, dtype=jnp.uint32)[:, None])
+        state, (payloads, telem) = jax.lax.scan(body, state, (sigs, refs, seqs))
         return state, payloads, telem
 
     return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())

@@ -72,6 +72,10 @@ class PipelineState(struct.PyTreeNode):
     hist: jnp.ndarray      # [N, L, 2] f32 previous block (overlap-save)
     ref_hist: jnp.ndarray  # [L, 2] f32 previous reference block
     block_idx: jnp.ndarray  # i32 scalar
+    # In-pipeline seqnum-gap detection (the reference only detects drops
+    # client-side via seqnums, README.md:42 / cpacketizer.cc:113,142):
+    last_seq: jnp.ndarray  # [N] u32 last seen per-channel capture seqnum
+    gaps: jnp.ndarray      # [N] i32 cumulative gap events (discontinuities)
 
     @property
     def phase_c(self) -> jnp.ndarray:
@@ -90,6 +94,8 @@ class Telemetry(struct.PyTreeNode):
     phase: jnp.ndarray    # [N, 2] f32 applied correction factor (re, im)
     synced: jnp.ndarray   # [N] bool
     rms: jnp.ndarray      # [N] block RMS (signal health, cf. cdsp::rms)
+    gap: jnp.ndarray      # [N] bool seqnum discontinuity THIS block
+    gaps: jnp.ndarray     # [N] i32 cumulative gap events
 
     @property
     def phase_c(self) -> jnp.ndarray:
@@ -119,4 +125,6 @@ def init_state(cfg: PipelineConfig) -> PipelineState:
         hist=jnp.zeros((N, L, 2), jnp.float32),
         ref_hist=jnp.zeros((L, 2), jnp.float32),
         block_idx=jnp.zeros((), jnp.int32),
+        last_seq=jnp.zeros((N,), jnp.uint32),
+        gaps=jnp.zeros((N,), jnp.int32),
     )

@@ -46,6 +46,7 @@ def step(
     sig_u8: jnp.ndarray,  # [N, L, 2] uint8 raw interleaved IQ
     ref_u8: jnp.ndarray,  # [L, 2] uint8 reference-channel raw IQ
     update_gate: jnp.ndarray,  # scalar bool — reference noise injected
+    seq: jnp.ndarray = None,  # [N] uint32 per-channel capture seqnums
 ) -> Tuple[PipelineState, BlockOutput]:
     """Process one block: measure -> control -> correct -> phase -> emit.
 
@@ -53,10 +54,27 @@ def step(
     overlap-save center window), which buys an instantaneous +-L/2-sample
     correction range. ``aligned[:, n]`` and ``ref[n]`` refer to the same
     instant — the coherent receive matrix row.
+
+    ``seq`` enables in-pipeline gap detection: a per-channel seqnum jump
+    (a dropped capture buffer — the reference's documented failure mode,
+    README.md:42, detected only by clients via cpacketizer.cc:113,142)
+    marks the channel's measurement invalid THIS block (its overlap-save
+    window straddles the discontinuity), freezes its phase, desyncs it
+    (policy: flag + freeze until it re-locks), and bumps its cumulative gap
+    counter. ``seq=None`` synthesizes contiguous seqnums (no gaps).
     """
     L = cfg.block_len
     sig = u8_to_c64(sig_u8)  # [N, L]
     ref = u8_to_c64(ref_u8)  # [L]
+
+    # --- seqnum-gap detection -------------------------------------------
+    if seq is None:
+        seq = state.last_seq + jnp.uint32(1)
+    seq = seq.astype(jnp.uint32)
+    delta = seq - state.last_seq  # uint32 wraparound-safe
+    gap = (delta != 1) & (state.block_idx > 0)  # [N] bool
+    new_gaps = state.gaps + gap.astype(jnp.int32)
+    meas_ok = update_gate & jnp.logical_not(gap)  # [N] per-channel gating
 
     from coherent_rtlsdr_tpu.kernels.backend import get_spectral
 
@@ -75,10 +93,12 @@ def step(
     meas_b = sp.measure(ctx, cfg.lag_method)
     meas = jax.tree_util.tree_map(lambda a: a[0], meas_b)
 
-    # Control update (ccontrol analog, numerical).
+    # Control update (ccontrol analog, numerical). Gap-hit channels ignore
+    # this block's measurement and drop their sync flag.
     new_delay, new_synced = control_update(
-        cfg, state.delay, state.synced, meas.lag, meas.mag, update_gate
+        cfg, state.delay, state.synced, meas.lag, meas.mag, meas_ok
     )
+    new_synced = new_synced & jnp.logical_not(gap)
 
     # Apply the fractional advance in frequency domain; overlap-save slice.
     out_raw = sp.correct(ctx, new_delay[None])[0]         # [N, L] aligned
@@ -90,7 +110,7 @@ def step(
     # gated by the reference-noise flag (ccoherent.cc:271-273) and by
     # measurement quality.
     pc_inst = phase_correction_estimate(out_raw, out_ref)
-    good = update_gate & (meas.mag >= cfg.min_corr_mag)
+    good = meas_ok & (meas.mag >= cfg.min_corr_mag)
     old_phase = f2c(state.phase)
     ema = ema_complex(old_phase, pc_inst, alpha=cfg.phase_alpha)
     new_phase = jnp.where(good, ema, old_phase)
@@ -105,6 +125,8 @@ def step(
         phase=c2f(new_phase),
         synced=new_synced,
         rms=rms(sig, axis=-1),
+        gap=gap,
+        gaps=new_gaps,
     )
     new_state = PipelineState(
         delay=new_delay,
@@ -116,6 +138,8 @@ def step(
         hist=c2f(sig),
         ref_hist=c2f(ref),
         block_idx=state.block_idx + 1,
+        last_seq=seq,
+        gaps=new_gaps,
     )
     return new_state, BlockOutput(aligned=aligned, ref=out_ref, telemetry=telemetry)
 

@@ -162,18 +162,37 @@ class ZmqSource:
     realized. Lets one alignment server chain off another's output, or a
     remote host feed raw dongle captures to the TPU host over the network.
 
-    Frames must carry the header (channel 0 = reference). Returns None on
-    receive timeout.
+    Channel 0 of the frame is the reference. With ``header=False`` the
+    stream is the reference's raw ``-R`` mode (header-less frames,
+    main.cc:105,148-150) and the geometry must be given explicitly; seqnums
+    are then synthesized from the receive counter (raw mode has none on the
+    wire). Returns None on receive timeout.
     """
 
-    def __init__(self, address: str, timeout_ms: int = 30000):
+    def __init__(
+        self,
+        address: str,
+        timeout_ms: int = 30000,
+        header: bool = True,
+        n_channels: Optional[int] = None,
+        block_len: Optional[int] = None,
+    ):
         import zmq
 
+        if not header and (n_channels is None or block_len is None):
+            raise ValueError(
+                "raw (header-less) streams need explicit n_channels/block_len "
+                "(the -R wire carries no hdr0, main.cc:148-150)"
+            )
         self._ctx = zmq.Context.instance()
         self._sub = self._ctx.socket(zmq.SUB)
         self._sub.setsockopt(zmq.SUBSCRIBE, b"")
         self._sub.setsockopt(zmq.RCVTIMEO, timeout_ms)
         self._sub.connect(address)
+        self._header = header
+        self._n = n_channels  # INCLUDING the reference channel
+        self._L = block_len
+        self._rx_count = np.uint32(0)
         self.refnoise_enabled = True
 
     def next_block(self) -> Optional[Block]:
@@ -185,9 +204,16 @@ class ZmqSource:
             buf = self._sub.recv()
         except zmq.Again:
             return None
-        f = unpack_frame(buf)
+        f = unpack_frame(
+            buf, header=self._header, n_channels=self._n, block_len=self._L
+        )
         u8 = (f.iq.astype(np.int16) + 128).astype(np.uint8)
-        return u8[1:], u8[0], f.seqnums[1:].astype(np.uint32)
+        self._rx_count = np.uint32(self._rx_count + np.uint32(1))
+        if self._header:
+            seqs = f.seqnums[1:].astype(np.uint32)
+        else:
+            seqs = np.full(u8.shape[0] - 1, self._rx_count, np.uint32)
+        return u8[1:], u8[0], seqs
 
     def close(self):
         self._sub.close(0)

@@ -125,6 +125,24 @@ class TestLagEstimate:
         est = ops.lag_estimate(sig, ref, method="phase_zoom")
         assert float(est.mag) < 0.1
 
+    def test_phase_zoom_papr_consistent_with_argmax_path(self):
+        """phase_zoom's Parseval PAPR (|z|^2/sum|G|^2) must track the
+        argmax path's peak/mean PAPR — the validation metric from
+        seqnum_and_correlation.m — not return 0 (it used to, degrading
+        telemetry silently when that estimator was selected)."""
+        key = jax.random.PRNGKey(21)
+        L = 4096
+        ref = _noise(key, L)
+        sig = _delayed(ref, 7.25)
+        pz = ops.lag_estimate(sig, ref, method="phase_zoom")
+        ps = ops.lag_estimate(sig, ref, method="phase_slope")
+        assert float(pz.papr) > 100.0
+        assert 0.3 < float(pz.papr) / float(ps.papr) < 3.0
+        # and an uncorrelated pair gives low PAPR on both
+        other = _noise(jax.random.PRNGKey(77), L)
+        pz0 = ops.lag_estimate(other, ref, method="phase_zoom")
+        assert float(pz0.papr) < 50.0
+
     def test_batched_channels(self):
         key = jax.random.PRNGKey(4)
         L = 4096

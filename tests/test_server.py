@@ -115,6 +115,107 @@ class TestCheckpointResume:
         )
 
 
+class GapInjectSource:
+    """Wraps a source and simulates one missed capture buffer on a chosen
+    channel at a chosen block: the block's samples repeat and its seqnum
+    skips — exactly the reference's documented stale-buffer failure
+    (README.md:42)."""
+
+    def __init__(self, inner, gap_at: int, channel: int):
+        self._inner = inner
+        self._gap_at = gap_at
+        self._ch = channel
+        self._blocks = 0
+        self._offset = None
+        self.refnoise_enabled = True
+
+    def next_block(self):
+        sig, ref, seqs = self._inner.next_block()
+        if self._offset is None:
+            self._offset = np.zeros_like(seqs)
+        if self._blocks == self._gap_at:
+            self._offset[self._ch] += 1  # one buffer skipped
+        self._blocks += 1
+        return sig, ref, seqs + self._offset
+
+
+class TestGapDetection:
+    """In-pipeline seqnum-gap detection + policy (SURVEY.md §5: the
+    reference delegates drop detection to clients, README.md:42 /
+    cpacketizer.cc:113,142; here the pipeline itself detects, desyncs and
+    re-locks)."""
+
+    def test_gap_desync_relock_cycle(self):
+        truth = make_truth(3, seed=3, max_delay=20.0, snr_db=30.0)
+        src = GapInjectSource(
+            SyntheticStreamSource(truth, block_len=L, slab_blocks=8, seed=3),
+            gap_at=8, channel=1,
+        )
+        cfg = PipelineConfig(n_channels=3, block_len=L)
+        srv = CoherentServer(
+            cfg, src, publisher=FakePublisher(), control=FakeControl()
+        )
+        srv.run(max_blocks=8)
+        assert bool(np.all(np.asarray(srv.state.synced)))
+        assert int(np.asarray(srv.state.gaps).sum()) == 0
+
+        srv.run(max_blocks=1)  # the gapped block
+        assert not bool(np.asarray(srv.state.synced)[1])  # policy: desync
+        assert bool(np.asarray(srv.state.synced)[0])
+        assert int(np.asarray(srv.state.gaps)[1]) == 1
+        assert int(np.asarray(srv.state.gaps)[0]) == 0
+
+        srv.run(max_blocks=4)  # re-lock
+        assert bool(np.all(np.asarray(srv.state.synced)))
+        assert int(np.asarray(srv.state.gaps)[1]) == 1  # counted once
+
+    def test_gap_counters_under_random_drops(self):
+        srv, pub, _, _ = _server(drop_rate=0.3, seed=5)
+        srv.run(max_blocks=12)
+        assert int(np.asarray(srv.state.gaps).sum()) > 0
+
+    def test_status_and_log_surface_gaps(self):
+        srv, _, _, _ = _server(drop_rate=0.3, seed=5)
+        srv.run(max_blocks=12)
+        st = srv.status()
+        assert "seqnum gaps:" in st and "seqnum gaps: 0" not in st
+        assert "blocks/s" in st and "phase drift" in st
+        log = srv.drain_log()
+        assert "seqnum gap on channel" in log
+        assert srv.drain_log() == ""  # drained
+
+    def test_scan_mode_detects_gaps_too(self):
+        truth = make_truth(3, seed=3, max_delay=20.0, snr_db=30.0)
+        src = GapInjectSource(
+            SyntheticStreamSource(truth, block_len=L, slab_blocks=8, seed=3),
+            gap_at=9, channel=2,
+        )
+        cfg = PipelineConfig(n_channels=3, block_len=L)
+        srv = CoherentServer(
+            cfg, src, publisher=FakePublisher(), control=FakeControl(),
+            scan_depth=4,
+        )
+        srv.run(max_blocks=16)
+        assert int(np.asarray(srv.state.gaps)[2]) == 1
+        assert bool(np.all(np.asarray(srv.state.synced)))  # re-locked
+
+
+class TestLocalConsole:
+    def test_stdin_commands_dispatch_and_quit(self, capsys):
+        import io
+
+        srv, pub, _, _ = _server()
+        srv.start_local_console(stream=io.StringIO("status\nquit\n"))
+        import time
+
+        time.sleep(0.2)  # let the reader thread enqueue
+        n = srv.run(max_blocks=50)
+        assert n <= 2  # quit processed at the first control poll
+        out = capsys.readouterr().out
+        assert "synchronized" in out  # status reply printed locally
+        assert "bye" in out
+
+
 class TestFaultInjection:
     def test_drop_rate_creates_seqnum_gaps(self):
         srv, pub, _, _ = _server(drop_rate=0.3, seed=5)

@@ -52,6 +52,40 @@ class TestZmqLoopback:
         assert src.next_block() is None
         src.close()
 
+    def test_raw_mode_publisher_to_zmq_source(self):
+        """-R raw (header-less) loopback: the reference can PRODUCE this
+        stream (main.cc:105,148-150); here it is also CONSUMABLE with
+        explicit geometry, with seqnums synthesized from the rx counter."""
+        pub = FramePublisher(
+            data_addr=f"tcp://127.0.0.1:{PORT+6}",
+            debug_addr=f"tcp://127.0.0.1:{PORT+8}",
+            header=False,
+        )
+        src = ZmqSource(
+            f"tcp://127.0.0.1:{PORT+6}", timeout_ms=5000,
+            header=False, n_channels=4, block_len=64,
+        )
+        time.sleep(0.3)
+
+        rng = np.random.default_rng(1)
+        for k in range(2):
+            iq = rng.integers(-128, 128, (4, 64, 2)).astype(np.int8)
+            pub.publish(iq, np.arange(4, dtype=np.uint32))
+            blk = src.next_block()
+            assert blk is not None
+            sig_u8, ref_u8, seqnums = blk
+            assert sig_u8.shape == (3, 64, 2)
+            np.testing.assert_array_equal(seqnums, [k + 1] * 3)
+            np.testing.assert_array_equal(
+                sig_u8.astype(np.int16) - 128, iq[1:].astype(np.int16)
+            )
+        src.close()
+        pub.close()
+
+    def test_raw_mode_requires_geometry(self):
+        with pytest.raises(ValueError):
+            ZmqSource(f"tcp://127.0.0.1:{PORT+10}", header=False)
+
     def test_control_server_poll(self):
         ctl = ControlServer(f"tcp://127.0.0.1:{CTRL_PORT}")
         ctx = zmq.Context.instance()
