@@ -33,8 +33,18 @@ def main():
     ap.add_argument("--debug-address", default="tcp://*:5557")
     ap.add_argument("-C", "--config", default=None)
     ap.add_argument("-R", "--raw", action="store_true")
-    ap.add_argument("--source", choices=["synth", "file"], default="synth")
+    ap.add_argument("--source", choices=["synth", "file", "ring"], default="synth")
     ap.add_argument("--capture", default=None)
+    ap.add_argument(
+        "--ingest", default=None,
+        help="ring-source producer: 'file:<path>[@<blocks/s>]' replays a raw "
+             "capture (looping) or 'zmq:<addr>' SUB-receives raw blocks — "
+             "both run as native C++ threads (crtlsdr.cc:44-59 analog)",
+    )
+    ap.add_argument(
+        "--ring-slots", type=int, default=16,
+        help="ring depth in blocks (power of two; full ring drops = seqnum gaps)",
+    )
     ap.add_argument("--blocks", type=int, default=None)
     ap.add_argument("--state", default=None, help="calibration checkpoint npz")
     ap.add_argument("--drop-rate", type=float, default=0.0)
@@ -47,6 +57,12 @@ def main():
     ap.add_argument(
         "--interactive", action="store_true",
         help="local stdin console next to the remote socket (console.cc:38-57)",
+    )
+    ap.add_argument(
+        "--fft-impl", choices=["xla", "mxu", "pallas", "fused", "auto"],
+        default="xla",
+        help="spectral backend (kernels/backend.py); 'fused' = u8-native "
+             "Pallas mega-kernels with in-kernel dequant/phase/requant",
     )
     args = ap.parse_args()
 
@@ -65,9 +81,34 @@ def main():
         n = len(signal_channels(defs))
         print(f"config {args.config}: {n} signal channels")
 
-    cfg = PipelineConfig(n_channels=n, block_len=args.blocksize, fs=args.fs)
+    cfg = PipelineConfig(
+        n_channels=n, block_len=args.blocksize, fs=args.fs,
+        fft_impl=args.fft_impl,
+        lag_method="phase_zoom" if args.fft_impl == "fused" else "phase_slope",
+    )
 
-    if args.source == "file":
+    producer = None
+    if args.source == "ring":
+        from coherent_rtlsdr_tpu import native
+        from coherent_rtlsdr_tpu.signal.sources import RingSource
+
+        block_bytes = (n + 1) * args.blocksize * 2
+        ring = native.NativeBlockRing(args.ring_slots, block_bytes)
+        if not args.ingest:
+            ap.error("--source ring requires --ingest file:<path> | zmq:<addr>")
+        kind, _, spec = args.ingest.partition(":")
+        if kind == "file":
+            path, _, rate = spec.partition("@")
+            producer = native.NativeProducer.file(
+                ring, path, rate_blocks_per_s=float(rate) if rate else 0.0,
+                loop=True,
+            )
+        elif kind == "zmq":
+            producer = native.NativeProducer.zmq(ring, spec)
+        else:
+            ap.error(f"unknown ingest '{args.ingest}'")
+        source = RingSource(ring, n_channels=n, block_len=args.blocksize)
+    elif args.source == "file":
         from coherent_rtlsdr_tpu.io.streamio import load_capture
         from coherent_rtlsdr_tpu.signal.sources import FileSource
 
@@ -102,6 +143,8 @@ def main():
     if args.interactive:
         server.start_local_console()
     published = server.run(max_blocks=args.blocks)
+    if producer is not None:
+        producer.stop()
     print(f"published {published} frames")
 
 

@@ -89,10 +89,11 @@ def bench_streaming_scan(n_iters=8, **cfg_kw):
     def scan_fn(state, sigs, refs):
         def body(s, blk):
             s2, out = step(cfg, s, blk[0], blk[1], gate)
-            return s2, (c64_to_i8_iq(out.aligned), out.telemetry.residual)
+            wire = out.wire if out.wire is not None else c64_to_i8_iq(out.aligned)
+            return s2, (wire, out.telemetry.residual)
         return jax.lax.scan(body, state, (sigs, refs))
 
-    run = jax.jit(scan_fn)
+    run = jax.jit(scan_fn, donate_argnums=(0,))
     state = init_state(cfg)
     state, outs = run(state, sig, ref)
     _sync(outs)
@@ -104,15 +105,16 @@ def bench_streaming_scan(n_iters=8, **cfg_kw):
     return N_CH * L / dt
 
 
-def bench_streaming_single(n_iters=32):
-    cfg = PipelineConfig(n_channels=N_CH, block_len=L)
+def bench_streaming_single(n_iters=32, **cfg_kw):
+    cfg = PipelineConfig(n_channels=N_CH, block_len=L, **cfg_kw)
     sig, ref = _inputs()
     gate = jnp.array(True)
 
     @jax.jit
     def run(state, sig, ref):
         state, out = step(cfg, state, sig, ref, gate)
-        return state, c64_to_i8_iq(out.aligned), out.telemetry.residual
+        wire = out.wire if out.wire is not None else c64_to_i8_iq(out.aligned)
+        return state, wire, out.telemetry.residual
 
     state = init_state(cfg)
     state, wire, r = run(state, sig, ref)

@@ -129,8 +129,11 @@ class CoherentServer:
 
         def _step(state, sig_u8, ref_u8, gate, seq):
             new_state, out = step(cfg, state, sig_u8, ref_u8, gate, seq=seq)
-            wire_sig = c64_to_i8_iq(out.aligned)        # [N, L, 2] int8
-            wire_ref = c64_to_i8_iq(out.ref)            # [L, 2] int8
+            if out.wire is not None:  # fused path: int8 straight from kernel
+                wire_sig, wire_ref = out.wire, out.wire_ref
+            else:
+                wire_sig = c64_to_i8_iq(out.aligned)    # [N, L, 2] int8
+                wire_ref = c64_to_i8_iq(out.ref)        # [L, 2] int8
             return new_state, wire_sig, wire_ref, out.telemetry
 
         self.cfg = cfg

@@ -51,6 +51,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from coherent_rtlsdr_tpu.constants import IQ_SCALE
 from coherent_rtlsdr_tpu.kernels.fft4step import _dft_matrix, _twiddle
 
 _TWO_PI = 2.0 * np.pi
@@ -98,18 +99,15 @@ def _atan2(y, x):
     return jnp.where(y < 0, -r, r)
 
 
-def _forward_fft_split(dot, fre, fim, tre, tim, tr_ref, ti_ref, br_ref, bi_ref):
-    """Forward four-step FFT of a window given as two half-window block refs
-    (top = earlier block rows 0..m/2-1, bottom = later block): the first
-    matmul splits over the column halves of F, so the window is never
-    concatenated. Returns permuted spectrum (dre, dim) f32."""
+def _forward_fft_split(dot, fre, fim, tre, tim, at_re, at_im, ab_re, ab_im):
+    """Forward four-step FFT of a window given as two half-window planes
+    (top = earlier block rows 0..m/2-1, bottom = later block), each
+    ``[m/2, m]`` bf16: the first matmul splits over the column halves of F,
+    so the window is never concatenated. Returns the permuted spectrum
+    (dre, dim) f32."""
     m = fre.shape[0]
     fl_re, fr_re = fre[:, : m // 2], fre[:, m // 2:]
     fl_im, fr_im = fim[:, : m // 2], fim[:, m // 2:]
-    at_re = tr_ref[0, 0]          # [m/2, m] bf16
-    at_im = ti_ref[0, 0]
-    ab_re = br_ref[0, 0]
-    ab_im = bi_ref[0, 0]
     bre = (dot(fl_re, at_re) - dot(fl_im, at_im)
            + dot(fr_re, ab_re) - dot(fr_im, ab_im))
     bim = (dot(fl_re, at_im) + dot(fl_im, at_re)
@@ -120,35 +118,26 @@ def _forward_fft_split(dot, fre, fim, tre, tim, tr_ref, ti_ref, br_ref, bi_ref):
     return dre, dim
 
 
-def _measure_kernel(
-    fre_ref, fim_ref, tre_ref, tim_ref, kg_ref, fg_ref, p_ref, q_ref,
-    xtr_ref, xti_ref, xbr_ref, xbi_ref, rre_ref, rim_ref,
-    lag_ref, mag_ref, esig_ref, eg_ref,
-    *, W: int,
-):
-    m = fre_ref.shape[0]
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    fre = fre_ref[:].astype(jnp.bfloat16)
-    fim = fim_ref[:].astype(jnp.bfloat16)
-    tre = tre_ref[:]
-    tim = tim_ref[:]
+def _dq_i8(x):
+    """In-kernel dequant of one raw i8 IQ plane: x * IQ_SCALE, bf16 (the
+    reference's cdsp::convtofloat, src/cdsp.cc:36-44, folded into the kernel
+    prologue — capture bytes never touch HBM in any wider dtype; the 128
+    offset removal / XOR 0x80 happens in the eager de-interleave pass since
+    Mosaic has no u8->f32 cast)."""
+    return (x.astype(jnp.float32) * IQ_SCALE).astype(jnp.bfloat16)
 
-    dre, dim = _forward_fft_split(
-        dot, fre, fim, tre, tim, xtr_ref, xti_ref, xbr_ref, xbi_ref
-    )
 
-    # --- cross-spectrum G = D * conj(R) ---------------------------------
-    rre = rre_ref[0].astype(jnp.float32)
-    rim = rim_ref[0].astype(jnp.float32)
-    gre = dre * rre + dim * rim
-    gim = dim * rre - dre * rim
-
+def _phase_zoom_core(dot, gre, gim, kg, fg, p, q, W):
+    """The complete two-stage banded phase-slope estimator on a permuted
+    cross-spectrum G (ops/xcorr.py:_phase_zoom_estimate, in-kernel form).
+    Returns (lag, z_re, z_im, eg): fractional lag, the complex correlation
+    value at that lag (Parseval: <y, ref>_time = z/W), and sum|G|^2."""
+    m = gre.shape[0]
     # --- stage 1: 8-bin bands as a selection matmul, coarse slope -------
     # Gb1[j, k1] = sum of rows 8j..8j+7 of column k1; natural band index
     # b = k1*(m/8) + j. Adjacent-band products stay within a column except
     # at the j-wrap (band (m/8-1, k1) -> (0, k1+1)); the Nyquist straddle
     # (natural b = W/16 - 1) is always the column boundary k1 = m/2 - 1.
-    p = p_ref[:]                       # [m/8, m] row-group selector
     g1re = dot(p, gre)                 # [m/8, m]
     g1im = dot(p, gim)
     in_re = g1re[1:, :] * g1re[:-1, :] + g1im[1:, :] * g1im[:-1, :]
@@ -164,13 +153,11 @@ def _measure_kernel(
     int_lag = jnp.round(d1)
 
     # --- stage 2: deramp by the integer lag, 2m-bin bands ---------------
-    kg = kg_ref[:]
     ph = _iramp_fraction(kg, (-int_lag).astype(jnp.int32), W) * _TWO_PI
     wr = jnp.cos(ph)
     wi = -jnp.sin(ph)
     gcre, gcim = _cmul(gre, gim, wr, wi)
 
-    q = q_ref[:]                       # [m, m/2] column-pair selector
     ones_row = jnp.ones((1, m), jnp.float32)
     g2re = dot(ones_row, dot(gcre, q))  # [1, m/2]
     g2im = dot(ones_row, dot(gcim, q))
@@ -183,21 +170,50 @@ def _measure_kernel(
     s2im = jnp.sum(p2im * nyq2)
     frac = jnp.clip(-_atan2(s2im, s2re) * (M2 / _TWO_PI), -4.0, 4.0)
 
-    # --- correlation value at the fractional lag + energies -------------
-    fg = fg_ref[:]                     # signed frequency (cycles/sample)
+    # --- correlation value at the fractional lag -------------------------
     phf = (_TWO_PI * frac) * fg
     zr = jnp.cos(phf)
     zi = jnp.sin(phf)
     zre, zim = _cmul(gcre, gcim, zr, zi)
     z_re = jnp.sum(zre)
     z_im = jnp.sum(zim)
+    eg = jnp.sum(gre * gre + gim * gim)
+    return int_lag + frac, z_re, z_im, eg
+
+
+def _measure_kernel(
+    fre_ref, fim_ref, tre_ref, tim_ref, kg_ref, fg_ref, p_ref, q_ref,
+    xtr_ref, xti_ref, xbr_ref, xbi_ref, rre_ref, rim_ref,
+    lag_ref, mag_ref, esig_ref, eg_ref,
+    *, W: int,
+):
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    fre = fre_ref[:].astype(jnp.bfloat16)
+    fim = fim_ref[:].astype(jnp.bfloat16)
+    tre = tre_ref[:]
+    tim = tim_ref[:]
+
+    dre, dim = _forward_fft_split(
+        dot, fre, fim, tre, tim,
+        xtr_ref[0, 0], xti_ref[0, 0], xbr_ref[0, 0], xbi_ref[0, 0],
+    )
+
+    # --- cross-spectrum G = D * conj(R) ---------------------------------
+    rre = rre_ref[0].astype(jnp.float32)
+    rim = rim_ref[0].astype(jnp.float32)
+    gre = dre * rre + dim * rim
+    gim = dim * rre - dre * rim
+
+    lag, z_re, z_im, eg = _phase_zoom_core(
+        dot, gre, gim, kg_ref[:], fg_ref[:], p_ref[:], q_ref[:], W
+    )
 
     i = pl.program_id(0)
     j = pl.program_id(1)
-    lag_ref[i, j] = int_lag + frac
+    lag_ref[i, j] = lag
     mag_ref[i, j] = jnp.sqrt(z_re * z_re + z_im * z_im)
     esig_ref[i, j] = jnp.sum(dre * dre + dim * dim)
-    eg_ref[i, j] = jnp.sum(gre * gre + gim * gim)
+    eg_ref[i, j] = eg
 
 
 def _apply_kernel(
@@ -214,7 +230,8 @@ def _apply_kernel(
     tim = tim_ref[:]
 
     dre, dim = _forward_fft_split(
-        dot, fre, fim, tre, tim, xtr_ref, xti_ref, xbr_ref, xbi_ref
+        dot, fre, fim, tre, tim,
+        xtr_ref[0, 0], xti_ref[0, 0], xbr_ref[0, 0], xbi_ref[0, 0],
     )
 
     # --- fractional-advance ramp (ops/delay.py semantics: delay = -adv,
@@ -244,6 +261,145 @@ def _apply_kernel(
     b16im = b2im.astype(jnp.bfloat16)
     yre_ref[0, 0] = dot(fh_re, b16re) - dot(fh_im, b16im)
     yim_ref[0, 0] = dot(fh_re, b16im) + dot(fh_im, b16re)
+
+
+def _load_half_raw(dot, raw, si, sq):
+    """Dequant + de-interleave one raw i8 half-window block ``[m/2, 2m]``
+    (bytes I0 Q0 I1 Q1 ... exactly as captured) into (re, im) bf16
+    ``[m/2, m]`` planes. The de-interleave is a 0/1 selection matmul — a
+    strided byte gather is pathological on the VPU (measured ~400 us/block
+    eagerly at 21ch), but as an MXU matmul it is noise. Selected i8 values
+    are exact in bf16."""
+    a = _dq_i8(raw)                       # [m/2, 2m] bf16
+    return (dot(a, si).astype(jnp.bfloat16),
+            dot(a, sq).astype(jnp.bfloat16))
+
+
+def _ref_fft_kernel_i8(
+    fre_ref, fim_ref, tre_ref, tim_ref, si_ref, sq_ref, rt_ref, rb_ref,
+    rre_ref, rim_ref,
+):
+    """Window FFT of the reference channel straight from raw interleaved i8
+    IQ bytes (block t = ``[1, m/2, 2m]``)."""
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    fre = fre_ref[:].astype(jnp.bfloat16)
+    fim = fim_ref[:].astype(jnp.bfloat16)
+    si = si_ref[:]
+    sq = sq_ref[:]
+    at_re, at_im = _load_half_raw(dot, rt_ref[0], si, sq)
+    ab_re, ab_im = _load_half_raw(dot, rb_ref[0], si, sq)
+    dre, dim = _forward_fft_split(
+        dot, fre, fim, tre_ref[:], tim_ref[:], at_re, at_im, ab_re, ab_im
+    )
+    rre_ref[0] = dre.astype(jnp.bfloat16)
+    rim_ref[0] = dim.astype(jnp.bfloat16)
+
+
+def _measure_kernel_i8(
+    fre_ref, fim_ref, tre_ref, tim_ref, kg_ref, fg_ref, p_ref, q_ref,
+    si_ref, sq_ref, xt_ref, xb_ref, rre_ref, rim_ref,
+    lag_ref, zre_ref, zim_ref, esig_ref, eg_ref,
+    *, W: int,
+):
+    """i8-native measure: raw interleaved bytes in (dequant + de-interleave
+    prologue), forward FFT + conj-mul + in-kernel phase-zoom. Outputs the
+    COMPLEX correlation value z (not just |z|): arg(z) is the phase
+    correction estimate (Parseval — see _phase_zoom_core), so the streaming
+    step gets its phase estimate for free instead of a separate eager
+    conj-dot pass over the output."""
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    fre = fre_ref[:].astype(jnp.bfloat16)
+    fim = fim_ref[:].astype(jnp.bfloat16)
+    si = si_ref[:]
+    sq = sq_ref[:]
+    at_re, at_im = _load_half_raw(dot, xt_ref[0, 0], si, sq)
+    ab_re, ab_im = _load_half_raw(dot, xb_ref[0, 0], si, sq)
+    dre, dim = _forward_fft_split(
+        dot, fre, fim, tre_ref[:], tim_ref[:], at_re, at_im, ab_re, ab_im
+    )
+
+    rre = rre_ref[0].astype(jnp.float32)
+    rim = rim_ref[0].astype(jnp.float32)
+    gre = dre * rre + dim * rim
+    gim = dim * rre - dre * rim
+
+    lag, z_re, z_im, eg = _phase_zoom_core(
+        dot, gre, gim, kg_ref[:], fg_ref[:], p_ref[:], q_ref[:], W
+    )
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    lag_ref[i, j] = lag
+    zre_ref[i, j] = z_re
+    zim_ref[i, j] = z_im
+    esig_ref[i, j] = jnp.sum(dre * dre + dim * dim)
+    eg_ref[i, j] = eg
+
+
+def _apply_kernel_i8(
+    fre_ref, fim_ref, tre_ref, tim_ref, fire_ref, fiim_ref, kg_ref, fg_ref,
+    si_ref, sq_ref, sit_ref, sqt_ref, xt_ref, xb_ref,
+    adv_ref, pre_ref, pim_ref,
+    y_ref,
+    *, W: int,
+):
+    """i8-native apply: raw interleaved bytes in, wire bytes out, one kernel.
+    Dequant/de-interleave prologue; fractional-advance ramp with the
+    per-channel phase correction FOLDED INTO the ramp (a scalar multiply in
+    frequency domain is free); inverse four-step center rows; int8 wire
+    requantization + re-interleave epilogue (cpacketizer.cc:158-172 analog —
+    the output block is byte-identical to the wire frame payload)."""
+    m = fre_ref.shape[0]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    fre = fre_ref[:].astype(jnp.bfloat16)
+    fim = fim_ref[:].astype(jnp.bfloat16)
+    tre = tre_ref[:]
+    tim = tim_ref[:]
+    si = si_ref[:]
+    sq = sq_ref[:]
+    at_re, at_im = _load_half_raw(dot, xt_ref[0, 0], si, sq)
+    ab_re, ab_im = _load_half_raw(dot, xb_ref[0, 0], si, sq)
+    dre, dim = _forward_fft_split(
+        dot, fre, fim, tre, tim, at_re, at_im, ab_re, ab_im
+    )
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    d = -adv_ref[i, j]
+    di = jnp.floor(d)
+    df = d - di
+    ph = _iramp_fraction(kg_ref[:], di.astype(jnp.int32), W) + fg_ref[:] * df
+    ph = ph * _TWO_PI
+    wr = jnp.cos(ph)
+    wi = -jnp.sin(ph)
+    # phase correction factor: ramp *= (p_re + i p_im)
+    p_re = pre_ref[i, j]
+    p_im = pim_ref[i, j]
+    wr, wi = wr * p_re - wi * p_im, wr * p_im + wi * p_re
+    gre, gim = _cmul(dre, dim, wr, wi)
+
+    fire = fire_ref[:].astype(jnp.bfloat16)   # conj(F)/m
+    fiim = fiim_ref[:].astype(jnp.bfloat16)
+    g16re = gre.astype(jnp.bfloat16)
+    g16im = gim.astype(jnp.bfloat16)
+    c2re = dot(g16re, fire) - dot(g16im, fiim)
+    c2im = dot(g16re, fiim) + dot(g16im, fire)
+    b2re, b2im = _cmul(c2re, c2im, tre, -tim)  # conj twiddle
+    fh_re = fire[m // 4: 3 * m // 4, :]
+    fh_im = fiim[m // 4: 3 * m // 4, :]
+    b16re = b2re.astype(jnp.bfloat16)
+    b16im = b2im.astype(jnp.bfloat16)
+    yre = dot(fh_re, b16re) - dot(fh_im, b16im)
+    yim = dot(fh_re, b16im) + dot(fh_im, b16re)
+    # int8 wire requantization (round-to-nearest, saturate — the exact
+    # c64_to_i8_iq semantics, ops/convert.py) BEFORE the interleave matmul:
+    # quantized integers <= 127 are exact in bf16, so the 0/1 selection
+    # matmuls re-interleave losslessly.
+    inv = 1.0 / IQ_SCALE
+    yq_re = jnp.clip(jnp.round(yre * inv), -128.0, 127.0).astype(jnp.bfloat16)
+    yq_im = jnp.clip(jnp.round(yim * inv), -128.0, 127.0).astype(jnp.bfloat16)
+    y_il = dot(yq_re, sit_ref[:]) + dot(yq_im, sqt_ref[:])   # [m/2, 2m]
+    y_ref[0, 0] = y_il.astype(jnp.int8)
 
 
 class FusedPipelineKernels:
@@ -281,12 +437,23 @@ class FusedPipelineKernels:
         q = np.zeros((m, m // 2), np.float32)
         for b in range(m // 2):
             q[2 * b: 2 * b + 2, b] = 1.0
+        # IQ de-interleave / re-interleave selectors for the raw-byte kernels
+        # (see _load_half_raw): si[2s, s] = 1 picks I, sq[2s+1, s] = 1 picks
+        # Q; their transposes re-interleave the output.
+        si = np.zeros((2 * m, m), np.float32)
+        sqs = np.zeros((2 * m, m), np.float32)
+        si[2 * np.arange(m), np.arange(m)] = 1.0
+        sqs[2 * np.arange(m) + 1, np.arange(m)] = 1.0
         self._t = {
             "fre": jnp.asarray(fre), "fim": jnp.asarray(fim),
             "tre": jnp.asarray(tre), "tim": jnp.asarray(tim),
             "fire": jnp.asarray(fre / m), "fiim": jnp.asarray(-fim / m),
             "kg": jnp.asarray(kg), "fg": jnp.asarray(fg),
             "p": jnp.asarray(p), "q": jnp.asarray(q),
+            "si": jnp.asarray(si, jnp.bfloat16),
+            "sq": jnp.asarray(sqs, jnp.bfloat16),
+            "sit": jnp.asarray(si.T, jnp.bfloat16),
+            "sqt": jnp.asarray(sqs.T, jnp.bfloat16),
         }
 
     def _block_specs(self, m):
@@ -357,3 +524,106 @@ class FusedPipelineKernels:
           t["kg"], t["fg"], pre, pim, pre, pim, advance)
         W2 = self.fft_len // 2
         return yre.reshape(T - 1, N, W2), yim.reshape(T - 1, N, W2)
+
+    # ------------------------------------------------------------------
+    # i8-native path: RAW interleaved capture bytes in, raw interleaved
+    # int8 wire bytes out. Block layout: ``[..., m/2, 2m]`` int8 — the
+    # capture block [L, 2] reshaped (free, layout-identical): row r holds
+    # samples [r*m, (r+1)*m) as I0 Q0 I1 Q1 ... The u8 XOR 0x80 offset
+    # removal is the ONLY eager pass (elementwise, no relayout); dequant,
+    # de-interleave (selection matmul), requantize and re-interleave all
+    # live inside the kernels.
+    # ------------------------------------------------------------------
+
+    def ref_fft_i8(self, ref_raw: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """ref_raw ``[T, m/2, 2m]`` i8 raw blocks -> permuted window spectra
+        (rre, rim) each ``[T-1, m, m]`` bf16."""
+        T = ref_raw.shape[0]
+        m = self.m
+        t = self._t
+        tab = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                     memory_space=pltpu.VMEM)
+        blk_t = pl.BlockSpec((1, m // 2, 2 * m), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        blk_b = pl.BlockSpec((1, m // 2, 2 * m), lambda i: (i + 1, 0, 0),
+                             memory_space=pltpu.VMEM)
+        r_out = pl.BlockSpec((1, m, m), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _ref_fft_kernel_i8,
+            grid=(T - 1,),
+            in_specs=[tab(t["fre"]), tab(t["fim"]), tab(t["tre"]), tab(t["tim"]),
+                      tab(t["si"]), tab(t["sq"]), blk_t, blk_b],
+            out_specs=(r_out, r_out),
+            out_shape=(
+                jax.ShapeDtypeStruct((T - 1, m, m), jnp.bfloat16),
+                jax.ShapeDtypeStruct((T - 1, m, m), jnp.bfloat16),
+            ),
+            interpret=self._interpret,
+        )(t["fre"], t["fim"], t["tre"], t["tim"], t["si"], t["sq"],
+          ref_raw, ref_raw)
+
+    def measure_i8(
+        self, raw: jnp.ndarray, rre: jnp.ndarray, rim: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, ...]:
+        """raw ``[T, N, m/2, 2m]`` i8 blocks; rre/rim ``[T-1, m, m]`` bf16.
+        Returns (lag, z_re, z_im, sum|D|^2, sum|G|^2) each ``[T-1, N]``."""
+        T, N = raw.shape[:2]
+        m = self.m
+        t = self._t
+        tab = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                     memory_space=pltpu.VMEM)
+        blk_t = pl.BlockSpec((1, 1, m // 2, 2 * m), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+        blk_b = pl.BlockSpec((1, 1, m // 2, 2 * m), lambda i, j: (i + 1, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+        r_spec = pl.BlockSpec((1, m, m), lambda i, j: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        return pl.pallas_call(
+            functools.partial(_measure_kernel_i8, W=self.fft_len),
+            grid=(T - 1, N),
+            in_specs=[tab(t["fre"]), tab(t["fim"]), tab(t["tre"]), tab(t["tim"]),
+                      tab(t["kg"]), tab(t["fg"]), tab(t["p"]), tab(t["q"]),
+                      tab(t["si"]), tab(t["sq"]),
+                      blk_t, blk_b, r_spec, r_spec],
+            out_specs=(s_spec,) * 5,
+            out_shape=tuple(jax.ShapeDtypeStruct((T - 1, N), jnp.float32)
+                            for _ in range(5)),
+            interpret=self._interpret,
+        )(t["fre"], t["fim"], t["tre"], t["tim"], t["kg"], t["fg"],
+          t["p"], t["q"], t["si"], t["sq"], raw, raw, rre, rim)
+
+    def apply_i8(
+        self, raw: jnp.ndarray, advance: jnp.ndarray,
+        phase_re: jnp.ndarray, phase_im: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """raw ``[T, N, m/2, 2m]`` i8 blocks; advance/phase_re/phase_im
+        ``[T-1, N]`` f32. Returns the phase-corrected, int8-requantized
+        overlap-save center half as raw interleaved wire blocks
+        ``[T-1, N, m/2, 2m]`` (byte-identical to the [L, 2] wire layout)."""
+        T, N = raw.shape[:2]
+        m = self.m
+        t = self._t
+        tab = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                     memory_space=pltpu.VMEM)
+        blk_t = pl.BlockSpec((1, 1, m // 2, 2 * m), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+        blk_b = pl.BlockSpec((1, 1, m // 2, 2 * m), lambda i, j: (i + 1, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        y_spec = pl.BlockSpec((1, 1, m // 2, 2 * m), lambda i, j: (i, j, 0, 0),
+                              memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_apply_kernel_i8, W=self.fft_len),
+            grid=(T - 1, N),
+            in_specs=[tab(t["fre"]), tab(t["fim"]), tab(t["tre"]), tab(t["tim"]),
+                      tab(t["fire"]), tab(t["fiim"]), tab(t["kg"]), tab(t["fg"]),
+                      tab(t["si"]), tab(t["sq"]), tab(t["sit"]), tab(t["sqt"]),
+                      blk_t, blk_b, s_spec, s_spec, s_spec],
+            out_specs=y_spec,
+            out_shape=jax.ShapeDtypeStruct((T - 1, N, m // 2, 2 * m), jnp.int8),
+            interpret=self._interpret,
+        )(t["fre"], t["fim"], t["tre"], t["tim"], t["fire"], t["fiim"],
+          t["kg"], t["fg"], t["si"], t["sq"], t["sit"], t["sqt"],
+          raw, raw, advance, phase_re, phase_im)

@@ -62,6 +62,19 @@ def _load():
     ]
     lib.chost_pub_gseq.restype = ctypes.c_uint32
     lib.chost_pub_gseq.argtypes = [ctypes.c_void_p]
+    lib.chost_producer_file_start.restype = ctypes.c_void_p
+    lib.chost_producer_file_start.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_double, ctypes.c_int,
+    ]
+    lib.chost_producer_zmq_start.restype = ctypes.c_void_p
+    lib.chost_producer_zmq_start.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.chost_producer_pushed.restype = ctypes.c_uint64
+    lib.chost_producer_pushed.argtypes = [ctypes.c_void_p]
+    lib.chost_producer_error.restype = ctypes.c_int
+    lib.chost_producer_error.argtypes = [ctypes.c_void_p]
+    lib.chost_producer_running.restype = ctypes.c_int
+    lib.chost_producer_running.argtypes = [ctypes.c_void_p]
+    lib.chost_producer_stop.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -167,6 +180,69 @@ class NativePublisher:
 
     def __del__(self):
         self.close()
+
+
+class NativeProducer:
+    """A native capture thread feeding a :class:`NativeBlockRing` — the
+    reference's per-device async reader (src/crtlsdr.cc:44-59) as a C++
+    thread. Two transports:
+
+      * ``NativeProducer.file(ring, path, rate, loop)`` — replays a raw
+        capture file of contiguous ring blocks, optionally paced to a block
+        rate (simulating a live array's timing);
+      * ``NativeProducer.zmq(ring, addr)`` — SUB-connects to a remote
+        capture daemon streaming raw header-less blocks (the czmqsdr
+        stub's intent, include/csdrdevice.h:270-272 / raw mode
+        main.cc:105,148-150).
+
+    The ring owns backpressure: a full ring drops the block and counts it
+    (the reference's documented under-load failure, README.md:42), which the
+    pipeline's seqnum-gap detection then reports.
+    """
+
+    def __init__(self, ptr, ring):
+        self._lib = _load()
+        self._ptr = ptr
+        self._ring = ring  # keep the ring alive while the thread runs
+
+    @classmethod
+    def file(cls, ring: "NativeBlockRing", path: str,
+             rate_blocks_per_s: float = 0.0, loop: bool = False):
+        lib = _load()
+        ptr = lib.chost_producer_file_start(
+            ring._ptr, path.encode(), float(rate_blocks_per_s), 1 if loop else 0
+        )
+        if not ptr:
+            raise RuntimeError(f"could not start file producer for {path}")
+        return cls(ptr, ring)
+
+    @classmethod
+    def zmq(cls, ring: "NativeBlockRing", addr: str):
+        lib = _load()
+        ptr = lib.chost_producer_zmq_start(ring._ptr, addr.encode())
+        if not ptr:
+            raise RuntimeError(f"could not start zmq producer for {addr}")
+        return cls(ptr, ring)
+
+    @property
+    def pushed(self) -> int:
+        return self._lib.chost_producer_pushed(self._ptr)
+
+    @property
+    def running(self) -> bool:
+        return bool(self._lib.chost_producer_running(self._ptr))
+
+    @property
+    def error(self) -> bool:
+        return bool(self._lib.chost_producer_error(self._ptr))
+
+    def stop(self):
+        if getattr(self, "_ptr", None):
+            self._lib.chost_producer_stop(self._ptr)
+            self._ptr = None
+
+    def __del__(self):
+        self.stop()
 
 
 def requantize_i8(x: np.ndarray, scale: float = 127.0) -> np.ndarray:

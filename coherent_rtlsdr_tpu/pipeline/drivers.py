@@ -32,7 +32,10 @@ def make_scan_runner(cfg: PipelineConfig, emit_wire: bool = True, donate: bool =
         def body(s, blk):
             s2, out = step(cfg, s, blk[0], blk[1], gate, seq=blk[2])
             if emit_wire:
-                payload = (c64_to_i8_iq(out.aligned), c64_to_i8_iq(out.ref))
+                if out.wire is not None:  # fused path emits int8 directly
+                    payload = (out.wire, out.wire_ref)
+                else:
+                    payload = (c64_to_i8_iq(out.aligned), c64_to_i8_iq(out.ref))
             else:
                 from coherent_rtlsdr_tpu.ops.convert import c2f
 

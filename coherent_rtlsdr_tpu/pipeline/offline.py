@@ -23,8 +23,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from coherent_rtlsdr_tpu.kernels.backend import get_spectral
-from coherent_rtlsdr_tpu.ops.convert import u8_to_c64
+from coherent_rtlsdr_tpu.kernels.backend import FusedSpectral, get_spectral
+from coherent_rtlsdr_tpu.ops.convert import i8_iq_to_c64, u8_to_c64, u8_to_i8
 from coherent_rtlsdr_tpu.ops.phase import phase_correction_estimate
 from coherent_rtlsdr_tpu.pipeline.state import PipelineConfig
 
@@ -37,6 +37,10 @@ class OfflineResult(NamedTuple):
     mag: jnp.ndarray       # [T-1, N]
     papr: jnp.ndarray      # [T-1, N]
     phase: jnp.ndarray     # [T-1, N] c64 applied phase factors
+    # fft_impl='fused' i8-native extras: the int8 wire frames straight from
+    # the apply kernel (aligned/ref are then wire-fidelity reconstructions).
+    wire: Optional[jnp.ndarray] = None      # [T-1, N, L, 2] int8
+    wire_ref: Optional[jnp.ndarray] = None  # [T-1, L, 2] int8
 
 
 def _ema_scan(x: jnp.ndarray, alpha: float, w: jnp.ndarray) -> jnp.ndarray:
@@ -117,6 +121,79 @@ def apply_corrections(
     return aligned, out_ref, pc
 
 
+def _smooth_phases(
+    cfg: PipelineConfig,
+    pc_inst: jnp.ndarray,  # [T', N] c64 instantaneous estimates
+    mag: jnp.ndarray,      # [T', N]
+    smoothing: str,
+    phase_alpha: Optional[float] = None,
+) -> jnp.ndarray:
+    """Quality-gated phase smoothing (shared by the generic and i8-native
+    offline paths; mirrors the streaming EMA / reference csdrdevice.cc:66)."""
+    wgt = (mag >= cfg.min_corr_mag).astype(jnp.float32)
+    if smoothing == "global":
+        z = jnp.sum(pc_inst * wgt, axis=0)
+        zmag = jnp.abs(z)
+        pc = jnp.where(zmag > 0, z / jnp.where(zmag > 0, zmag, 1.0), 1.0 + 0j)
+        return jnp.broadcast_to(pc[None, :], pc_inst.shape).astype(jnp.complex64)
+    alpha = phase_alpha if phase_alpha is not None else cfg.phase_alpha
+    z = _ema_scan(pc_inst, alpha, wgt.astype(jnp.complex64))
+    zmag = jnp.abs(z)
+    return (z / jnp.where(zmag > 0, zmag, 1.0)).astype(jnp.complex64)
+
+
+def _align_offline_fused_i8(
+    cfg: PipelineConfig,
+    sp: FusedSpectral,
+    sig_u8: jnp.ndarray,  # [T, N, L, 2] uint8
+    ref_u8: jnp.ndarray,  # [T, L, 2] uint8
+    smoothing: str,
+) -> OfflineResult:
+    """The i8-native offline engine: the same measure -> smooth -> apply
+    phases, but phases A and C are the raw-byte mega-kernels
+    (kernels/pallas_fused.py) — the only eager sample pass is the u8 XOR.
+    The phase estimate is arg(z) from the measure kernel (Parseval inner
+    product at the measured lag; see pipeline/step.py:_step_fused_u8), and
+    ``aligned`` is the int8 wire reconstruction — what clients receive."""
+    k = sp._k
+    m = k.m
+    T, N, L, _ = sig_u8.shape
+    raw = u8_to_i8(sig_u8).reshape(T, N, m // 2, 2 * m)
+    ref_i8 = u8_to_i8(ref_u8)                            # [T, L, 2]
+    ref_raw = ref_i8.reshape(T, m // 2, 2 * m)
+
+    rre, rim = k.ref_fft_i8(ref_raw)                     # [T-1, m, m]
+    lag, zre, zim, esig, eg = k.measure_i8(raw, rre, rim)
+    zabs = jnp.sqrt(zre * zre + zim * zim)
+    e_ref = jnp.sum(
+        rre.astype(jnp.float32) ** 2 + rim.astype(jnp.float32) ** 2,
+        axis=(-2, -1),
+    )                                                    # [T-1]
+    denom = jnp.sqrt(esig * e_ref[:, None])
+    mag = zabs / jnp.where(denom > 0, denom, 1.0)
+    papr = zabs * zabs / jnp.where(eg > 0, eg, 1.0)
+
+    delay = smooth_delays(cfg, lag, mag, smoothing)
+    delay = jnp.clip(delay, -cfg.max_delay, cfg.max_delay)
+
+    z = zre + 1j * zim
+    pc_inst = jnp.where(
+        zabs > 0, jnp.conj(z) / jnp.where(zabs > 0, zabs, 1.0), 1.0 + 0j
+    ).astype(jnp.complex64)
+    pc = _smooth_phases(cfg, pc_inst, mag, smoothing)
+
+    wire_raw = k.apply_i8(raw, delay, jnp.real(pc), jnp.imag(pc))
+    wire = wire_raw.reshape(T - 1, N, L, 2)
+    wire_ref = jnp.concatenate(
+        [ref_i8[:-1, L // 2:], ref_i8[1:, : L // 2]], axis=1
+    )                                                    # [T-1, L, 2]
+    return OfflineResult(
+        aligned=i8_iq_to_c64(wire), ref=i8_iq_to_c64(wire_ref),
+        lag=lag, delay=delay, mag=mag, papr=papr, phase=pc,
+        wire=wire, wire_ref=wire_ref,
+    )
+
+
 def align_offline(
     cfg: PipelineConfig,
     sig_u8: jnp.ndarray,  # [T, N, L, 2] uint8
@@ -125,6 +202,10 @@ def align_offline(
 ) -> OfflineResult:
     """Align a whole capture. Returns T-1 output blocks (block 0 seeds the
     overlap-save history, like the streaming step's first block)."""
+    sp0 = get_spectral(cfg, 2 * cfg.block_len)
+    if isinstance(sp0, FusedSpectral):
+        return _align_offline_fused_i8(cfg, sp0, sig_u8, ref_u8, smoothing)
+
     sig = u8_to_c64(sig_u8)  # [T, N, L]
     ref = u8_to_c64(ref_u8)  # [T, L]
 

@@ -69,8 +69,10 @@ class PipelineState(struct.PyTreeNode):
     mag: jnp.ndarray       # [N] f32 last correlation coefficient
     papr: jnp.ndarray      # [N] f32 last correlation PAPR
     synced: jnp.ndarray    # [N] bool
-    hist: jnp.ndarray      # [N, L, 2] f32 previous block (overlap-save)
-    ref_hist: jnp.ndarray  # [L, 2] f32 previous reference block
+    hist: jnp.ndarray      # previous block (overlap-save): [N, L, 2] f32, or
+                           # [N, m/2, 2m] i8 raw bytes when fft_impl='fused'
+    ref_hist: jnp.ndarray  # previous ref block: [L, 2] f32, or [L, 2] i8 raw
+                           # when fft_impl='fused'
     block_idx: jnp.ndarray  # i32 scalar
     # In-pipeline seqnum-gap detection (the reference only detects drops
     # client-side via seqnums, README.md:42 / cpacketizer.cc:113,142):
@@ -105,16 +107,34 @@ class Telemetry(struct.PyTreeNode):
 class BlockOutput(struct.PyTreeNode):
     """``aligned``/``ref`` are complex64 — valid INSIDE a jitted program and
     on CPU; TPU callers must reduce them to real dtypes (int8 wire format /
-    float pairs) before returning from jit (see io/server.py, bench.py)."""
+    float pairs) before returning from jit (see io/server.py, bench.py).
+
+    The fused u8-native path (fft_impl='fused') additionally emits the int8
+    wire frame directly from its apply kernel (``wire``/``wire_ref``); its
+    ``aligned``/``ref`` are then reconstructions from the wire bytes (same
+    fidelity the clients see) that XLA dead-code-eliminates when unused."""
 
     aligned: jnp.ndarray   # [N, L] c64 corrected signal channels
     ref: jnp.ndarray       # [L] c64 reference channel (same pipeline latency)
     telemetry: Telemetry
+    wire: Optional[jnp.ndarray] = None       # [N, L, 2] int8 wire frame
+    wire_ref: Optional[jnp.ndarray] = None   # [L, 2] int8 ref channel
 
 
 def init_state(cfg: PipelineConfig) -> PipelineState:
     N, L = cfg.n_channels, cfg.block_len
     phase0 = jnp.zeros((N, 2), jnp.float32).at[:, 0].set(1.0)
+    if cfg.fft_impl == "fused":
+        # i8-native fast path: history is the capture bytes after offset
+        # removal (u8 XOR 0x80 — Mosaic has no u8->f32 cast), kept RAW and
+        # interleaved (row r of [m/2, 2m] = samples [r*m, (r+1)*m) as
+        # I0 Q0 I1 Q1 ...); the fused kernels de-interleave internally.
+        m = int(round((2 * L) ** 0.5))
+        hist = jnp.zeros((N, L // m, 2 * m), jnp.int8)
+        ref_hist = jnp.zeros((L, 2), jnp.int8)
+    else:
+        hist = jnp.zeros((N, L, 2), jnp.float32)
+        ref_hist = jnp.zeros((L, 2), jnp.float32)
     return PipelineState(
         delay=jnp.zeros((N,), jnp.float32),
         phase=phase0,
@@ -122,8 +142,8 @@ def init_state(cfg: PipelineConfig) -> PipelineState:
         mag=jnp.zeros((N,), jnp.float32),
         papr=jnp.zeros((N,), jnp.float32),
         synced=jnp.zeros((N,), bool),
-        hist=jnp.zeros((N, L, 2), jnp.float32),
-        ref_hist=jnp.zeros((L, 2), jnp.float32),
+        hist=hist,
+        ref_hist=ref_hist,
         block_idx=jnp.zeros((), jnp.int32),
         last_seq=jnp.zeros((N,), jnp.uint32),
         gaps=jnp.zeros((N,), jnp.int32),

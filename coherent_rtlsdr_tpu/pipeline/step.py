@@ -28,7 +28,14 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from coherent_rtlsdr_tpu.ops.convert import c2f, f2c, u8_to_c64
+from coherent_rtlsdr_tpu.constants import IQ_SCALE
+from coherent_rtlsdr_tpu.ops.convert import (
+    c2f,
+    f2c,
+    i8_iq_to_c64,
+    u8_to_c64,
+    u8_to_i8,
+)
 from coherent_rtlsdr_tpu.ops.phase import ema_complex, phase_correction_estimate
 from coherent_rtlsdr_tpu.ops.spectral import rms
 from coherent_rtlsdr_tpu.pipeline.control import control_update
@@ -38,6 +45,19 @@ from coherent_rtlsdr_tpu.pipeline.state import (
     PipelineState,
     Telemetry,
 )
+
+
+def _seq_gap(state: PipelineState, seq, update_gate):
+    """Shared seqnum-gap detection (see step() docstring): returns
+    (seq, gap, new_gaps, meas_ok)."""
+    if seq is None:
+        seq = state.last_seq + jnp.uint32(1)
+    seq = seq.astype(jnp.uint32)
+    delta = seq - state.last_seq  # uint32 wraparound-safe
+    gap = (delta != 1) & (state.block_idx > 0)  # [N] bool
+    new_gaps = state.gaps + gap.astype(jnp.int32)
+    meas_ok = update_gate & jnp.logical_not(gap)  # [N] per-channel gating
+    return seq, gap, new_gaps, meas_ok
 
 
 def step(
@@ -63,18 +83,15 @@ def step(
     (policy: flag + freeze until it re-locks), and bumps its cumulative gap
     counter. ``seq=None`` synthesizes contiguous seqnums (no gaps).
     """
+    if cfg.fft_impl == "fused":
+        return _step_fused_u8(cfg, state, sig_u8, ref_u8, update_gate, seq)
+
     L = cfg.block_len
     sig = u8_to_c64(sig_u8)  # [N, L]
     ref = u8_to_c64(ref_u8)  # [L]
 
     # --- seqnum-gap detection -------------------------------------------
-    if seq is None:
-        seq = state.last_seq + jnp.uint32(1)
-    seq = seq.astype(jnp.uint32)
-    delta = seq - state.last_seq  # uint32 wraparound-safe
-    gap = (delta != 1) & (state.block_idx > 0)  # [N] bool
-    new_gaps = state.gaps + gap.astype(jnp.int32)
-    meas_ok = update_gate & jnp.logical_not(gap)  # [N] per-channel gating
+    seq, gap, new_gaps, meas_ok = _seq_gap(state, seq, update_gate)
 
     from coherent_rtlsdr_tpu.kernels.backend import get_spectral
 
@@ -142,6 +159,141 @@ def step(
         gaps=new_gaps,
     )
     return new_state, BlockOutput(aligned=aligned, ref=out_ref, telemetry=telemetry)
+
+
+def _step_fused_u8(
+    cfg: PipelineConfig,
+    state: PipelineState,
+    sig_u8: jnp.ndarray,   # [N, L, 2] uint8
+    ref_u8: jnp.ndarray,   # [L, 2] uint8
+    update_gate: jnp.ndarray,
+    seq: jnp.ndarray = None,
+) -> Tuple[PipelineState, BlockOutput]:
+    """The fft_impl='fused' streaming step: raw u8 bytes in, int8 wire bytes
+    out, with every wide-dtype pass inside the Pallas mega-kernels
+    (kernels/pallas_fused.py u8-native path).
+
+    vs the generic step():
+      * history is the raw u8 planes (4x less state HBM than f32 pairs);
+        dequant happens in the kernel prologues;
+      * the phase estimate is arg(z) from the measure kernel's correlation
+        value (Parseval: <y_corrected, ref_window> = z/W at the measured
+        lag) — identical to the time-domain conj-dot when the channel is
+        locked (applied delay == measured lag), and gated identically;
+      * the phase correction multiplies the frequency-domain ramp inside the
+        apply kernel (free), which requantizes straight to int8 wire bytes.
+
+    Semantic deltas vs the generic step (both below measurement noise once
+    locked, and covered by the equivalence tests): the phase estimate uses
+    the full 2L window at the measured lag rather than the center half at
+    the applied delay, and ``aligned`` is reconstructed from the int8 wire
+    bytes (exactly what clients receive).
+    """
+    if cfg.lag_method not in ("phase_zoom", "auto"):
+        raise ValueError(
+            "fft_impl='fused' computes lag in-kernel with the phase_zoom "
+            f"estimator; set lag_method='phase_zoom' (got '{cfg.lag_method}')"
+        )
+    from coherent_rtlsdr_tpu.kernels.backend import get_spectral
+
+    L = cfg.block_len
+    sp = get_spectral(cfg, 2 * L)
+    k = sp._k
+    m = k.m
+
+    seq, gap, new_gaps, meas_ok = _seq_gap(state, seq, update_gate)
+
+    # Offset removal (XOR 0x80) is the ONLY eager pass over the samples —
+    # elementwise, no relayout; [L, 2] -> [m/2, 2m] is a free reshape of the
+    # same interleaved bytes. Dequant/de-interleave happen in the kernels
+    # (a strided byte gather costs ~400 us/blk on the VPU; as an in-kernel
+    # selection matmul it is noise).
+    N = cfg.n_channels
+    sig_i8 = u8_to_i8(sig_u8)                             # [N, L, 2]
+    ref_i8 = u8_to_i8(ref_u8)                             # [L, 2]
+    raw_cur = sig_i8.reshape(N, m // 2, 2 * m)
+    raw = jnp.stack([state.hist, raw_cur])                # [2, N, m/2, 2m]
+    ref_raw = jnp.stack(
+        [state.ref_hist.reshape(m // 2, 2 * m), ref_i8.reshape(m // 2, 2 * m)]
+    )                                                     # [2, m/2, 2m]
+
+    rre, rim = k.ref_fft_i8(ref_raw)                      # [1, m, m] bf16
+    lag_b, zre_b, zim_b, esig_b, eg_b = k.measure_i8(raw, rre, rim)
+    lag, zre, zim = lag_b[0], zre_b[0], zim_b[0]
+    esig, eg = esig_b[0], eg_b[0]
+
+    zabs = jnp.sqrt(zre * zre + zim * zim)
+    e_ref = jnp.sum(
+        rre.astype(jnp.float32) ** 2 + rim.astype(jnp.float32) ** 2
+    )
+    denom = jnp.sqrt(esig * e_ref)
+    mag = zabs / jnp.where(denom > 0, denom, 1.0)
+    papr = zabs * zabs / jnp.where(eg > 0, eg, 1.0)       # Parseval PAPR
+
+    new_delay, new_synced = control_update(
+        cfg, state.delay, state.synced, lag, mag, meas_ok
+    )
+    new_synced = new_synced & jnp.logical_not(gap)
+
+    # pc_inst = conj(z)/|z| (phase_correction_estimate convention applied to
+    # the Parseval inner product; csdrdevice.cc:58-69 analog).
+    z = zre + 1j * zim
+    pc_inst = jnp.where(zabs > 0, jnp.conj(z) / jnp.where(zabs > 0, zabs, 1.0),
+                        1.0 + 0j).astype(jnp.complex64)
+    good = meas_ok & (mag >= cfg.min_corr_mag)
+    old_phase = f2c(state.phase)
+    ema = ema_complex(old_phase, pc_inst, alpha=cfg.phase_alpha)
+    new_phase = jnp.where(good, ema, old_phase)
+
+    wire_raw = k.apply_i8(
+        raw, new_delay[None],
+        jnp.real(new_phase)[None], jnp.imag(new_phase)[None],
+    )[0]                                                  # [N, m/2, 2m] i8
+    wire = wire_raw.reshape(N, L, 2)                      # free reshape
+    # Reference channel: raw passthrough at the same pipeline latency
+    # (cpacketizer.cc:137-156 — ref is never requantized, only re-signed).
+    wire_ref = jnp.concatenate(
+        [state.ref_hist[L // 2:], ref_i8[: L // 2]], axis=0
+    )                                                     # [L, 2] int8
+
+    # Wire-fidelity complex views (DCE'd by XLA when the caller only
+    # consumes wire/wire_ref — the server/driver hot paths do).
+    aligned = i8_iq_to_c64(wire)
+    out_ref = i8_iq_to_c64(wire_ref)
+
+    f = sig_u8.astype(jnp.float32) - 128.0
+    rms_val = jnp.sqrt(
+        jnp.mean(f[..., 0] ** 2 + f[..., 1] ** 2, axis=-1)
+    ) * IQ_SCALE
+
+    telemetry = Telemetry(
+        lag=lag,
+        residual=lag - new_delay,
+        mag=mag,
+        papr=papr,
+        phase=c2f(new_phase),
+        synced=new_synced,
+        rms=rms_val,
+        gap=gap,
+        gaps=new_gaps,
+    )
+    new_state = PipelineState(
+        delay=new_delay,
+        phase=c2f(new_phase),
+        lag=lag,
+        mag=mag,
+        papr=papr,
+        synced=new_synced,
+        hist=raw_cur,
+        ref_hist=ref_i8,
+        block_idx=state.block_idx + 1,
+        last_seq=seq,
+        gaps=new_gaps,
+    )
+    return new_state, BlockOutput(
+        aligned=aligned, ref=out_ref, telemetry=telemetry,
+        wire=wire, wire_ref=wire_ref,
+    )
 
 
 def make_step(cfg: PipelineConfig, donate: bool = True):

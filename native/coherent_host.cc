@@ -28,6 +28,8 @@
 #include <cstdio>
 #include <cstring>
 #include <mutex>
+#include <string>
+#include <thread>
 #include <vector>
 
 #include <dlfcn.h>
@@ -38,14 +40,19 @@ namespace zmqdl {
 
 // Stable libzmq C ABI constants (zmq.h).
 constexpr int PUB = 1;
-constexpr int SNDMORE = 2;  // unused; frames are single-part like the ref
+constexpr int SUB = 2;
+constexpr int SNDMORE = 2;      // unused; frames are single-part like the ref
+constexpr int SUBSCRIBE = 6;    // ZMQ_SUBSCRIBE
+constexpr int RCVTIMEO = 27;    // ZMQ_RCVTIMEO
 
 using ctx_new_t = void *(*)();
 using ctx_term_t = int (*)(void *);
 using socket_t = void *(*)(void *, int);
 using close_t = int (*)(void *);
 using bind_t = int (*)(void *, const char *);
+using connect_t = int (*)(void *, const char *);
 using send_t = int (*)(void *, const void *, size_t, int);
+using recv_t = int (*)(void *, void *, size_t, int);
 using setsockopt_t = int (*)(void *, int, const void *, size_t);
 
 struct Api {
@@ -55,7 +62,9 @@ struct Api {
   socket_t socket = nullptr;
   close_t close = nullptr;
   bind_t bind = nullptr;
+  connect_t connect = nullptr;
   send_t send = nullptr;
+  recv_t recv = nullptr;
   setsockopt_t setsockopt = nullptr;
   bool ok = false;
 };
@@ -75,10 +84,13 @@ static Api &api() {
     a.socket = reinterpret_cast<socket_t>(dlsym(a.handle, "zmq_socket"));
     a.close = reinterpret_cast<close_t>(dlsym(a.handle, "zmq_close"));
     a.bind = reinterpret_cast<bind_t>(dlsym(a.handle, "zmq_bind"));
+    a.connect = reinterpret_cast<connect_t>(dlsym(a.handle, "zmq_connect"));
     a.send = reinterpret_cast<send_t>(dlsym(a.handle, "zmq_send"));
+    a.recv = reinterpret_cast<recv_t>(dlsym(a.handle, "zmq_recv"));
     a.setsockopt =
         reinterpret_cast<setsockopt_t>(dlsym(a.handle, "zmq_setsockopt"));
-    a.ok = a.ctx_new && a.socket && a.bind && a.send && a.close;
+    a.ok = a.ctx_new && a.socket && a.bind && a.connect && a.send && a.recv &&
+           a.close;
   });
   return a;
 }
@@ -288,6 +300,144 @@ int64_t chost_pub_send(void *pv, uint32_t n_channels, uint32_t block_len,
 
 uint32_t chost_pub_gseq(void *pv) {
   return static_cast<Publisher *>(pv)->globalseqn;
+}
+
+}  // extern "C"
+
+// -------------------------------------------------------------- producers --
+//
+// The capture side of the runtime: an asynchronous reader thread pushing raw
+// blocks into the ring — the reference's per-device `asynch_threadf`
+// (src/crtlsdr.cc:44-59, librtlsdr USB callbacks) generalized to the two
+// ingest transports the TPU host actually has: file replay (recorded
+// captures, rate-paced to simulate a live array) and a ZMQ raw-stream
+// receiver (the czmqsdr stub's intent, include/csdrdevice.h:270-272 — a
+// remote capture daemon streams raw frames over the network).
+
+namespace {
+
+struct Producer {
+  BlockRing *ring = nullptr;
+  std::thread th;
+  std::atomic<bool> stop{false};
+  std::atomic<bool> done{false};
+  std::atomic<uint64_t> pushed{0};
+  std::atomic<int> error{0};
+  // file replay
+  std::string path;
+  double rate = 0.0;  // blocks/s; <= 0 => flat out
+  bool loop = false;
+  // zmq receiver
+  void *zctx = nullptr;
+  void *zsock = nullptr;
+};
+
+void file_producer_main(Producer *p) {
+  std::vector<uint8_t> buf(p->ring->block_bytes);
+  uint64_t seq = 0;
+  auto next = std::chrono::steady_clock::now();
+  do {
+    FILE *f = std::fopen(p->path.c_str(), "rb");
+    if (!f) {
+      p->error.store(1);
+      return;
+    }
+    while (!p->stop.load(std::memory_order_relaxed)) {
+      size_t got = std::fread(buf.data(), 1, buf.size(), f);
+      if (got < buf.size()) break;  // EOF or short tail
+      if (p->rate > 0) {
+        next += std::chrono::nanoseconds(
+            static_cast<int64_t>(1e9 / p->rate));
+        std::this_thread::sleep_until(next);
+      }
+      // A full ring counts a drop and the block is lost — exactly the
+      // reference's under-load failure mode (README.md:42); downstream
+      // seqnum-gap detection (pipeline/step.py) sees the jump.
+      chost_ring_push(p->ring, buf.data(), ++seq);
+      p->pushed.fetch_add(1, std::memory_order_relaxed);
+    }
+    std::fclose(f);
+  } while (p->loop && !p->stop.load(std::memory_order_relaxed));
+  p->done.store(true);
+}
+
+void zmq_producer_main(Producer *p) {
+  auto &z = zmqdl::api();
+  std::vector<uint8_t> buf(p->ring->block_bytes);
+  uint64_t seq = 0;
+  while (!p->stop.load(std::memory_order_relaxed)) {
+    int n = z.recv(p->zsock, buf.data(), buf.size(), 0);
+    if (n < 0) continue;  // RCVTIMEO poll tick
+    if (static_cast<size_t>(n) != buf.size()) continue;  // not a raw block
+    chost_ring_push(p->ring, buf.data(), ++seq);
+    p->pushed.fetch_add(1, std::memory_order_relaxed);
+  }
+  p->done.store(true);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Replay a raw capture file (contiguous [n_blocks x block_bytes] u8 blocks,
+// each block = one ring slot: (N+1) x L x 2 interleaved IQ, ref first) into
+// the ring at `rate_blocks_per_s` (<= 0 = as fast as the ring drains).
+void *chost_producer_file_start(void *ring, const char *path,
+                                double rate_blocks_per_s, int loop) {
+  auto *p = new Producer();
+  p->ring = static_cast<BlockRing *>(ring);
+  p->path = path;
+  p->rate = rate_blocks_per_s;
+  p->loop = loop != 0;
+  p->th = std::thread(file_producer_main, p);
+  return p;
+}
+
+// Receive raw blocks (header-less frames of exactly block_bytes) from a ZMQ
+// SUB connection and push them into the ring — the network capture daemon
+// contract (reference raw mode, src/main.cc:105,148-150).
+void *chost_producer_zmq_start(void *ring, const char *addr) {
+  auto &z = zmqdl::api();
+  if (!z.ok) return nullptr;
+  auto *p = new Producer();
+  p->ring = static_cast<BlockRing *>(ring);
+  p->zctx = z.ctx_new();
+  p->zsock = z.socket(p->zctx, zmqdl::SUB);
+  int timeout = 100;
+  z.setsockopt(p->zsock, zmqdl::SUBSCRIBE, "", 0);
+  z.setsockopt(p->zsock, zmqdl::RCVTIMEO, &timeout, sizeof(timeout));
+  if (z.connect(p->zsock, addr) != 0) {
+    z.close(p->zsock);
+    z.ctx_term(p->zctx);
+    delete p;
+    return nullptr;
+  }
+  p->th = std::thread(zmq_producer_main, p);
+  return p;
+}
+
+uint64_t chost_producer_pushed(void *pv) {
+  return static_cast<Producer *>(pv)->pushed.load();
+}
+
+int chost_producer_error(void *pv) {
+  return static_cast<Producer *>(pv)->error.load();
+}
+
+// Returns 1 while the producer thread is still running (file replay ends on
+// EOF when not looping).
+int chost_producer_running(void *pv) {
+  return static_cast<Producer *>(pv)->done.load() ? 0 : 1;
+}
+
+void chost_producer_stop(void *pv) {
+  auto *p = static_cast<Producer *>(pv);
+  if (!p) return;
+  p->stop.store(true);
+  if (p->th.joinable()) p->th.join();
+  if (p->zsock) zmqdl::api().close(p->zsock);
+  if (p->zctx) zmqdl::api().ctx_term(p->zctx);
+  delete p;
 }
 
 }  // extern "C"

@@ -301,6 +301,90 @@ class TestFusedKernels:
         np.testing.assert_allclose(np.asarray(state.delay), truth.delays, atol=0.1)
         assert bool(jnp.all(state.synced))
 
+    def test_step_fused_u8_wire_matches_xla(self):
+        """The u8-native fused streaming step (raw bytes in, int8 wire out,
+        in-kernel dequant/phase/requant) must track the XLA reference step:
+        same delays, coherent wire output, near-identical wire bytes."""
+        from coherent_rtlsdr_tpu.ops.convert import c64_to_i8_iq, i8_iq_to_c64
+        from coherent_rtlsdr_tpu.pipeline import PipelineConfig, init_state, step
+        from coherent_rtlsdr_tpu.signal import make_truth, synth_capture
+
+        L = 2048
+        truth = make_truth(3, seed=7, max_delay=25.0, snr_db=30.0)
+        cap = synth_capture(jax.random.PRNGKey(7), truth, n_blocks=10, block_len=L)
+        gate = jnp.array(True)
+        outs = {}
+        for impl, method in (("xla", "phase_zoom"), ("fused", "phase_zoom")):
+            cfg = PipelineConfig(
+                n_channels=3, block_len=L, fft_impl=impl, lag_method=method
+            )
+            state = init_state(cfg)
+            jstep = jax.jit(lambda s, a, b, c=cfg: step(c, s, a, b, gate))
+            for t in range(10):
+                state, out = jstep(state, cap.sig_u8[t], cap.ref_u8[t])
+            outs[impl] = (state, out)
+        sx, ox = outs["xla"]
+        sf, of = outs["fused"]
+        np.testing.assert_allclose(
+            np.asarray(sf.delay), np.asarray(sx.delay), atol=2e-2
+        )
+        assert bool(jnp.all(sf.synced))
+        # wire frames agree to a couple of int8 LSB (bf16 kernels + the
+        # full-window-vs-center-half phase estimator delta)
+        assert of.wire is not None and of.wire.dtype == jnp.int8
+        wx = np.asarray(c64_to_i8_iq(ox.aligned), np.int32)
+        wf = np.asarray(of.wire, np.int32)
+        assert np.mean(np.abs(wf - wx)) < 1.0
+        assert np.percentile(np.abs(wf - wx), 99) <= 3
+        # ref channel is a bit-exact raw passthrough
+        np.testing.assert_array_equal(
+            np.asarray(of.wire_ref), np.asarray(c64_to_i8_iq(ox.ref))
+        )
+        # reconstructed aligned view is coherent with the ref
+        a = np.asarray(of.aligned)
+        r = np.asarray(of.ref)
+        for ch in range(3):
+            z = np.sum(a[ch] * np.conj(r))
+            rho = np.abs(z) / (np.linalg.norm(a[ch]) * np.linalg.norm(r))
+            assert rho > 0.93, rho
+            assert abs(np.degrees(np.angle(z))) < 5.0
+
+    def test_step_fused_u8_gap_policy(self):
+        """Seqnum-gap handling must survive the fused fast path: gap bumps
+        the counter, desyncs the channel, and freezes its phase."""
+        from coherent_rtlsdr_tpu.pipeline import PipelineConfig, init_state, step
+        from coherent_rtlsdr_tpu.signal import make_truth, synth_capture
+
+        L = 2048
+        truth = make_truth(3, seed=8, max_delay=10.0, snr_db=30.0)
+        cap = synth_capture(jax.random.PRNGKey(8), truth, n_blocks=8, block_len=L)
+        cfg = PipelineConfig(
+            n_channels=3, block_len=L, fft_impl="fused", lag_method="phase_zoom"
+        )
+        state = init_state(cfg)
+        gate = jnp.array(True)
+        jstep = jax.jit(lambda s, a, b, q: step(cfg, s, a, b, gate, seq=q))
+        seq = np.zeros(3, np.uint32)
+        for t in range(8):
+            seq = seq + 1
+            if t == 5:
+                seq[1] += 3  # dropped buffers on channel 1
+            state, out = jstep(
+                state, cap.sig_u8[t], cap.ref_u8[t], jnp.asarray(seq)
+            )
+            if t == 4:
+                phase_before = np.asarray(state.phase)
+            if t == 5:
+                tele = out.telemetry
+                assert bool(tele.gap[1]) and not bool(tele.gap[0])
+                assert not bool(state.synced[1])
+                np.testing.assert_array_equal(
+                    np.asarray(state.phase)[1], phase_before[1]
+                )
+        gaps = np.asarray(state.gaps)
+        assert gaps[1] == 1 and gaps[0] == 0 and gaps[2] == 0
+        assert bool(state.synced[1])  # re-locked after the gap
+
     def test_offline_fused_matches_xla(self):
         from coherent_rtlsdr_tpu.pipeline import PipelineConfig, align_offline
         from coherent_rtlsdr_tpu.signal import make_truth, synth_capture

@@ -152,3 +152,116 @@ class TestNativePublisher:
         f2 = unpack_frame(sub.recv())
         assert f2.globalseqn == 1  # gseq increments
         pub.close()
+
+
+class TestNativeProducer:
+    """The C++ capture threads (crtlsdr.cc:44-59 analog): file replayer and
+    ZMQ raw-stream receiver feeding the native ring."""
+
+    def _frames(self, n, L, count, seed=0):
+        rng = np.random.default_rng(seed)
+        return [
+            rng.integers(0, 256, (n + 1, L, 2), dtype=np.uint8)
+            for _ in range(count)
+        ]
+
+    def test_file_producer_feeds_ring_source(self, tmp_path):
+        from coherent_rtlsdr_tpu.signal.sources import RingSource
+
+        n, L, T = 3, 64, 5
+        frames = self._frames(n, L, T)
+        path = tmp_path / "capture.raw"
+        with open(path, "wb") as f:
+            for fr in frames:
+                f.write(fr.tobytes())
+
+        block_bytes = (n + 1) * L * 2
+        ring = native.NativeBlockRing(16, block_bytes)
+        prod = native.NativeProducer.file(ring, str(path))
+        src = RingSource(ring, n_channels=n, block_len=L, timeout_ms=2000)
+        try:
+            for i, fr in enumerate(frames):
+                blk = src.next_block()
+                assert blk is not None, f"missing block {i}"
+                sig, ref, seqs = blk
+                np.testing.assert_array_equal(ref, fr[0])
+                np.testing.assert_array_equal(sig, fr[1:])
+                assert seqs[0] == i + 1
+            deadline = time.time() + 2.0
+            while prod.running and time.time() < deadline:
+                time.sleep(0.01)
+            assert not prod.running  # EOF, no loop
+            assert prod.pushed == T
+            assert not prod.error
+        finally:
+            prod.stop()
+
+    def test_file_producer_paced(self, tmp_path):
+        n, L, T = 1, 32, 10
+        frames = self._frames(n, L, T, seed=1)
+        path = tmp_path / "cap.raw"
+        with open(path, "wb") as f:
+            for fr in frames:
+                f.write(fr.tobytes())
+        ring = native.NativeBlockRing(16, (n + 1) * L * 2)
+        t0 = time.time()
+        prod = native.NativeProducer.file(ring, str(path), rate_blocks_per_s=100.0)
+        try:
+            deadline = time.time() + 5.0
+            while prod.running and time.time() < deadline:
+                time.sleep(0.01)
+            dt = time.time() - t0
+            assert prod.pushed == T
+            assert dt >= 0.9 * T / 100.0  # pacing actually slept
+        finally:
+            prod.stop()
+
+    def test_file_producer_missing_file(self, tmp_path):
+        ring = native.NativeBlockRing(4, 64)
+        prod = native.NativeProducer.file(ring, str(tmp_path / "nope.raw"))
+        try:
+            deadline = time.time() + 2.0
+            while prod.running and time.time() < deadline:
+                time.sleep(0.01)
+            assert prod.error
+            assert prod.pushed == 0
+        finally:
+            prod.stop()
+
+    def test_zmq_producer_receives_raw_stream(self):
+        """pyzmq PUB (a remote capture daemon) -> native SUB thread -> ring
+        -> RingSource: the czmqsdr/raw-mode network ingest path."""
+        import zmq
+
+        from coherent_rtlsdr_tpu.signal.sources import RingSource
+
+        n, L, T = 2, 64, 4
+        frames = self._frames(n, L, T, seed=2)
+        block_bytes = (n + 1) * L * 2
+
+        ctx = zmq.Context()
+        pub = ctx.socket(zmq.PUB)
+        pub.bind("tcp://127.0.0.1:17601")
+        ring = native.NativeBlockRing(16, block_bytes)
+        prod = native.NativeProducer.zmq(ring, "tcp://127.0.0.1:17601")
+        try:
+            time.sleep(0.4)  # SUB join
+            pub.send(b"short")  # wrong size: must be ignored, not crash
+            for fr in frames:
+                pub.send(fr.tobytes())
+            deadline = time.time() + 5.0
+            while prod.pushed < T and time.time() < deadline:
+                time.sleep(0.01)
+            assert prod.pushed == T
+
+            src = RingSource(ring, n_channels=n, block_len=L, timeout_ms=1000)
+            for i, fr in enumerate(frames):
+                blk = src.next_block()
+                assert blk is not None
+                sig, ref, seqs = blk
+                np.testing.assert_array_equal(ref, fr[0])
+                np.testing.assert_array_equal(sig, fr[1:])
+        finally:
+            prod.stop()
+            pub.close(0)
+            ctx.term()
