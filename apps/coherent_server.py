@@ -64,6 +64,11 @@ def main():
         help="spectral backend (kernels/backend.py); 'fused' = u8-native "
              "Pallas mega-kernels with in-kernel dequant/phase/requant",
     )
+    ap.add_argument(
+        "--max-channels", type=int, default=None,
+        help="pad the channel axis to this width so console add/del reuse "
+             "the compiled executable (no mid-stream recompile stall)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -135,6 +140,7 @@ def main():
         header=not args.raw,
         state_path=args.state,
         scan_depth=args.scan_depth,
+        max_channels=args.max_channels,
     )
     print(
         f"coherent_rtlsdr_tpu server: {n} ch x {args.blocksize} @ {args.fs:.0f} "

@@ -39,9 +39,14 @@ from coherent_rtlsdr_tpu.pipeline import PipelineConfig, align_offline, init_sta
 
 N_CH = 21
 L = 8192
-T_BLOCKS = 32  # blocks per offline slab
-SCAN_K = 8     # streaming micro-batch depth
+T_BLOCKS = 64  # blocks per offline slab (1 dispatch/slab amortizes the RTT)
+SCAN_K = 32    # streaming micro-batch depth (throughput mode; 128 ms latency)
 BASELINE_SAMPLES_PER_S = 21 * 2.048e6  # reference real-time operating point
+
+# Environment note: each jit dispatch through the axon relay costs a FLAT
+# 0.5-3 ms (claim-dependent, measured across sessions) and calls do not
+# pipeline — so throughput paths batch many blocks per dispatch and all
+# timings below take the MIN over batches (robust to relay jitter).
 
 
 def _sync(out):
@@ -51,7 +56,23 @@ def _sync(out):
     np.asarray(leaf.ravel()[0])
 
 
-def _inputs(T=None):
+def _best(call, n_batches=4, inner=2):
+    """Min-of-batches wall time per call (fetch-synchronized)."""
+    _sync(call())  # warmup/compile
+    best = 1e9
+    for _ in range(n_batches):
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            out = call()
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / inner)
+    return best
+
+
+def _inputs(T=None, flat=False):
+    """``flat=True`` ships bytes as [.., 2L] — REQUIRED for the fused i8
+    path: a [.., L, 2] byte array is 64x tile-bloated on TPU (the eager XOR
+    alone then costs ~800 us/blk; see pipeline/step.py layout rule)."""
     rng = np.random.default_rng(0)
     if T is None:
         sig = rng.integers(0, 256, (N_CH, L, 2), dtype=np.uint8)
@@ -59,31 +80,29 @@ def _inputs(T=None):
     else:
         sig = rng.integers(0, 256, (T, N_CH, L, 2), dtype=np.uint8)
         ref = rng.integers(0, 256, (T, L, 2), dtype=np.uint8)
+    if flat:
+        sig = sig.reshape(sig.shape[:-2] + (2 * L,))
+        ref = ref.reshape(ref.shape[:-2] + (2 * L,))
     return jnp.asarray(sig), jnp.asarray(ref)
 
 
-def bench_offline(n_iters=8, **cfg_kw):
+def bench_offline(**cfg_kw):
     cfg = PipelineConfig(n_channels=N_CH, block_len=L, **cfg_kw)
-    sig, ref = _inputs(T_BLOCKS)
+    sig, ref = _inputs(T_BLOCKS, flat=cfg.fft_impl == "fused")
 
     @jax.jit
     def run(sig, ref):
         res = align_offline(cfg, sig, ref, smoothing="global")
-        return c64_to_i8_iq(res.aligned), res.delay, res.mag
+        wire = res.wire if res.wire is not None else c64_to_i8_iq(res.aligned)
+        return wire, res.delay, res.mag
 
-    out = run(sig, ref)
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = run(sig, ref)
-    _sync(out)
-    dt = (time.perf_counter() - t0) / n_iters
+    dt = _best(lambda: run(sig, ref))
     return (T_BLOCKS - 1) * N_CH * L / dt
 
 
-def bench_streaming_scan(n_iters=8, **cfg_kw):
+def bench_streaming_scan(scan_k=SCAN_K, **cfg_kw):
     cfg = PipelineConfig(n_channels=N_CH, block_len=L, **cfg_kw)
-    sig, ref = _inputs(SCAN_K)
+    sig, ref = _inputs(scan_k, flat=cfg.fft_impl == "fused")
     gate = jnp.array(True)
 
     def scan_fn(state, sigs, refs):
@@ -93,21 +112,20 @@ def bench_streaming_scan(n_iters=8, **cfg_kw):
             return s2, (wire, out.telemetry.residual)
         return jax.lax.scan(body, state, (sigs, refs))
 
-    run = jax.jit(scan_fn, donate_argnums=(0,))
+    run = jax.jit(scan_fn)
     state = init_state(cfg)
-    state, outs = run(state, sig, ref)
-    _sync(outs)
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state, outs = run(state, sig, ref)
-    _sync(outs)
-    dt = (time.perf_counter() - t0) / n_iters / SCAN_K
+
+    def call():
+        _, outs = run(state, sig, ref)
+        return outs
+
+    dt = _best(call) / scan_k
     return N_CH * L / dt
 
 
-def bench_streaming_single(n_iters=32, **cfg_kw):
+def bench_streaming_single(n_iters=16, **cfg_kw):
     cfg = PipelineConfig(n_channels=N_CH, block_len=L, **cfg_kw)
-    sig, ref = _inputs()
+    sig, ref = _inputs(flat=cfg.fft_impl == "fused")
     gate = jnp.array(True)
 
     @jax.jit
@@ -119,23 +137,71 @@ def bench_streaming_single(n_iters=32, **cfg_kw):
     state = init_state(cfg)
     state, wire, r = run(state, sig, ref)
     _sync(r)
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state, wire, r = run(state, sig, ref)
-    _sync(r)
-    dt = (time.perf_counter() - t0) / n_iters
-    return N_CH * L / dt
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, wire, r = run(state, sig, ref)
+        _sync(r)
+        best = min(best, (time.perf_counter() - t0) / n_iters)
+    return N_CH * L / best
 
 
 FUSED = dict(fft_impl="fused", lag_method="phase_zoom")
 
 
+def bench_server(n_blocks=160, warmup=40):
+    """End-to-end SERVER throughput: native C++ file producer -> SPSC ring ->
+    RingSource -> jitted fused scan step -> int8 fetch -> native ZMQ
+    publisher. This is the number the reference's hot loop corresponds to
+    (ccoherent::threadf + cpacketize::send, src/ccoherent.cc:245-294), host
+    edge included. Returns (frames/s, samples/s); 0 when the native library
+    isn't available."""
+    import tempfile
+
+    from coherent_rtlsdr_tpu import native
+    from coherent_rtlsdr_tpu.io.server import CoherentServer
+    from coherent_rtlsdr_tpu.signal.sources import RingSource
+
+    if not native.available():
+        return 0.0, 0.0
+
+    cfg = PipelineConfig(n_channels=N_CH, block_len=L, **FUSED)
+    block_bytes = (N_CH + 1) * L * 2
+    rng = np.random.default_rng(3)
+    with tempfile.NamedTemporaryFile(suffix=".raw", delete=False) as f:
+        f.write(rng.integers(0, 256, 32 * block_bytes, dtype=np.uint8).tobytes())
+        path = f.name
+    ring = native.NativeBlockRing(128, block_bytes)
+    producer = native.NativeProducer.file(ring, path, loop=True)
+    source = RingSource(ring, n_channels=N_CH, block_len=L, timeout_ms=10000)
+    server = CoherentServer(
+        cfg, source,
+        data_addr="tcp://127.0.0.1:16555",
+        ctrl_addr="tcp://127.0.0.1:16556",
+        debug_addr="tcp://127.0.0.1:16557",
+        scan_depth=SCAN_K,
+    )
+    try:
+        server.run(max_blocks=warmup)
+        t0 = time.perf_counter()
+        n = server.run(max_blocks=n_blocks)
+        dt = time.perf_counter() - t0
+    finally:
+        producer.stop()
+        os.unlink(path)
+    return n / dt, n * N_CH * L / dt
+
+
 def main():
-    offline = bench_offline()
+    # fused (headline) paths first — claims are freshest right after acquire
     offline_fused = bench_offline(**FUSED)
-    scan = bench_streaming_scan()
     scan_fused = bench_streaming_scan(**FUSED)
-    single = bench_streaming_single()
+    scan8_fused = bench_streaming_scan(scan_k=8, **FUSED)
+    offline = bench_offline()
+    scan = bench_streaming_scan()
+    single = bench_streaming_single(**FUSED)
+    server_fps, server_sps = bench_server()
     best_off = max(offline, offline_fused)
     best_scan = max(scan, scan_fused)
     value = max(best_off, best_scan)
@@ -148,11 +214,17 @@ def main():
                 "vs_baseline": round(value / BASELINE_SAMPLES_PER_S, 3),
                 "offline_samples_per_s": round(offline, 1),
                 "offline_fused_samples_per_s": round(offline_fused, 1),
-                "streaming_scan8_samples_per_s": round(scan, 1),
-                "streaming_scan8_fused_samples_per_s": round(scan_fused, 1),
+                "streaming_scan32_samples_per_s": round(scan, 1),
+                "streaming_scan32_fused_samples_per_s": round(scan_fused, 1),
+                "streaming_scan8_fused_samples_per_s": round(scan8_fused, 1),
                 "streaming_single_samples_per_s": round(single, 1),
                 "streaming_realtime_factor": round(
                     best_scan / BASELINE_SAMPLES_PER_S, 3
+                ),
+                "server_frames_per_s": round(server_fps, 1),
+                "server_samples_per_s": round(server_sps, 1),
+                "server_realtime_factor": round(
+                    server_sps / BASELINE_SAMPLES_PER_S, 3
                 ),
                 "device": str(jax.devices()[0]),
             }

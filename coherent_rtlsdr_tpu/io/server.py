@@ -78,7 +78,10 @@ class CoherentServer:
         publisher=None,
         control=None,
         scan_depth: int = 1,
+        max_channels: Optional[int] = None,
     ):
+        import dataclasses
+
         import jax
         import jax.numpy as jnp
 
@@ -87,6 +90,20 @@ class CoherentServer:
 
         self._jax = jax
         self._jnp = jnp
+        # Hot-plug without recompile: when ``max_channels`` is set, the jit
+        # processes a fixed-width [max_channels] state and console add/del
+        # only move host-side rows — no new executable, no mid-stream compile
+        # stall (the reference hot-plugs threads, console.cc:225-270; we
+        # hot-plug rows). Inactive rows carry synthetic u8-zero blocks and
+        # are sliced off every frame/status/telemetry view.
+        self.n_active = cfg.n_channels
+        self.max_channels = max_channels
+        if max_channels is not None:
+            if max_channels < cfg.n_channels:
+                raise ValueError("max_channels < n_channels")
+            cfg = dataclasses.replace(cfg, n_channels=max_channels)
+        self.n_jit_builds = 0
+        self._blocks_done = 0
         self.cfg = cfg
         self.source = source
         self.fs = cfg.fs
@@ -116,6 +133,9 @@ class CoherentServer:
         self.dispatcher = ConsoleDispatcher(self)
 
         self.scan_depth = int(scan_depth)
+        # fused impl: ship bytes FLAT ([N, 2L]) — a [N, L, 2] byte array is
+        # 64x tile-bloated on device (see pipeline/step.py layout rule)
+        self._flat = cfg.fft_impl == "fused"
         self._build_jits(cfg)
         self.state: PipelineState = init_state(cfg)
         if state_path and os.path.exists(state_path):
@@ -137,6 +157,7 @@ class CoherentServer:
             return new_state, wire_sig, wire_ref, out.telemetry
 
         self.cfg = cfg
+        self.n_jit_builds += 1
         self._step = jax.jit(_step, donate_argnums=(0,))
         self._scan = None
         if self.scan_depth > 1:
@@ -144,19 +165,46 @@ class CoherentServer:
 
             self._scan = make_scan_runner(cfg, emit_wire=True, donate=True)
 
+    # ---- channel padding (hot-plug without recompile) --------------------
+
+    def _padded(self, sig_u8: np.ndarray, seqs: np.ndarray):
+        """Pad a source block up to the jit width. Inactive rows get u8-zero
+        samples and contiguous synthetic seqnums (no phantom gaps)."""
+        n_jit = self.cfg.n_channels
+        n = sig_u8.shape[0]
+        if n == n_jit:
+            return sig_u8, seqs.astype(np.uint32)
+        sp = np.full((n_jit,) + sig_u8.shape[1:], 128, np.uint8)
+        sp[:n] = sig_u8
+        sq = np.empty(n_jit, np.uint32)
+        sq[:n] = seqs
+        sq[n:] = np.uint32(self._blocks_done + 1)
+        return sp, sq
+
     # ---- channel hot-plug (console add/del; console.cc:225-270) ---------
 
     def _resize_channels(self, row_map) -> None:
-        """Rebuild config/state/jits for a new channel set. ``row_map[i]`` is
-        the old row feeding new row i, or -1 for a fresh (unsynced) channel.
-        Surviving channels keep their calibration — no re-sync."""
+        """Re-map channel rows for a new channel set. ``row_map[i]`` is the
+        old row feeding new row i, or -1 for a fresh (unsynced) channel.
+        Surviving channels keep their calibration — no re-sync.
+
+        With ``max_channels`` set the jit width never changes: rows are
+        permuted host-side and the SAME compiled executable keeps running
+        (no recompile stall; the reference's add/del spawns/kills threads,
+        console.cc:225-270). Otherwise config/state/jits are rebuilt."""
         import dataclasses
 
         from coherent_rtlsdr_tpu.pipeline import init_state
 
         jnp = self._jnp
         old_state = self.state
-        new_cfg = dataclasses.replace(self.cfg, n_channels=len(row_map))
+        padded = self.max_channels is not None
+        if padded:
+            new_cfg = self.cfg  # fixed jit width
+            full_map = list(row_map) + [-1] * (self.cfg.n_channels - len(row_map))
+        else:
+            new_cfg = dataclasses.replace(self.cfg, n_channels=len(row_map))
+            full_map = list(row_map)
         new_state = init_state(new_cfg)
         updates = {}
         for name in (
@@ -165,7 +213,7 @@ class CoherentServer:
         ):
             old_leaf = np.asarray(getattr(old_state, name))
             new_leaf = np.asarray(getattr(new_state, name)).copy()
-            for newi, oldi in enumerate(row_map):
+            for newi, oldi in enumerate(full_map):
                 if 0 <= oldi < old_leaf.shape[0]:
                     new_leaf[newi] = old_leaf[oldi]
             updates[name] = jnp.asarray(new_leaf)
@@ -174,7 +222,9 @@ class CoherentServer:
             block_idx=old_state.block_idx,
             **updates,
         )
-        self._build_jits(new_cfg)
+        self.n_active = len(row_map)
+        if not padded:
+            self._build_jits(new_cfg)
 
     # ---- calibration checkpoint / resume ---------------------------------
 
@@ -243,17 +293,28 @@ class CoherentServer:
             if not blocks:
                 break
 
+            na = self.n_active
+            n_jit = self.cfg.n_channels
+            L = self.cfg.block_len
             if self._scan is not None and len(blocks) > 1:
-                sigs = jnp.asarray(np.stack([b[0] for b in blocks]))
-                refs = jnp.asarray(np.stack([b[1] for b in blocks]))
-                seqs = jnp.asarray(
-                    np.stack([b[2] for b in blocks]).astype(np.uint32)
-                )
+                padded = [self._padded(b[0], b[2]) for b in blocks]
+                # synthetic seqnums for pad rows advance per block in the
+                # micro-batch so inactive rows never see phantom gaps
+                for i, (sp, sq) in enumerate(padded):
+                    sq[na:] = np.uint32(self._blocks_done + i + 1)
+                sigs = np.stack([p[0] for p in padded])
+                refs = np.stack([b[1] for b in blocks])
+                if self._flat:
+                    sigs = sigs.reshape(len(blocks), n_jit, -1)
+                    refs = refs.reshape(len(blocks), -1)
+                sigs = jnp.asarray(sigs)
+                refs = jnp.asarray(refs)
+                seqs = jnp.asarray(np.stack([p[1] for p in padded]))
                 self.state, (wire_sigs, wire_refs), telem = self._scan(
                     self.state, sigs, refs, gate, seqs
                 )
-                ws = np.asarray(wire_sigs)
-                wr = np.asarray(wire_refs)
+                ws = np.asarray(wire_sigs).reshape(len(blocks), n_jit, L, 2)
+                wr = np.asarray(wire_refs).reshape(len(blocks), L, 2)
                 ph = np.asarray(telem.phase, np.float32)
                 tl = {
                     k: np.asarray(getattr(telem, k))
@@ -261,44 +322,56 @@ class CoherentServer:
                 }
                 base_idx = int(np.asarray(self.state.block_idx)) - len(blocks)
                 for i, (_, _, seqnums) in enumerate(blocks):
-                    frame = np.concatenate([wr[i][None], ws[i]], axis=0)
+                    frame = np.concatenate([wr[i][None], ws[i][:na]], axis=0)
                     ref_seq = np.asarray([base_idx + i + 1], np.uint32)
                     all_seq = np.concatenate([ref_seq, seqnums.astype(np.uint32)])
                     phases = np.concatenate(
                         [
                             np.ones(1, np.complex64),
-                            (ph[i, :, 0] + 1j * ph[i, :, 1]).astype(np.complex64),
+                            (ph[i, :na, 0] + 1j * ph[i, :na, 1]).astype(
+                                np.complex64
+                            ),
                         ]
                     )
                     self.publisher.publish(frame, all_seq, phases)
                     self._record_block(
-                        phases[1:], tl["lag"][i], tl["residual"][i],
-                        tl["mag"][i], tl["gap"][i],
+                        phases[1:], tl["lag"][i][:na], tl["residual"][i][:na],
+                        tl["mag"][i][:na], tl["gap"][i][:na],
                     )
                     n += 1
+                    self._blocks_done += 1
             else:
                 for sig_u8, ref_u8, seqnums in blocks:
+                    sp, sq = self._padded(sig_u8, seqnums)
+                    if self._flat:
+                        sp = sp.reshape(n_jit, -1)
+                        ref_u8 = np.asarray(ref_u8).reshape(-1)
                     self.state, wire_sig, wire_ref, telem = self._step(
-                        self.state, jnp.asarray(sig_u8), jnp.asarray(ref_u8),
-                        gate, jnp.asarray(seqnums.astype(np.uint32)),
+                        self.state, jnp.asarray(sp), jnp.asarray(ref_u8),
+                        gate, jnp.asarray(sq),
                     )
                     # Frame layout: channel 0 = reference (cpacketizer write
                     # order, ccoherent.cc:253). Phases on the debug port.
                     frame = np.concatenate(
-                        [np.asarray(wire_ref)[None], np.asarray(wire_sig)], axis=0
+                        [np.asarray(wire_ref).reshape(1, L, 2),
+                         np.asarray(wire_sig).reshape(n_jit, L, 2)[:na]],
+                        axis=0,
                     )
                     ref_seq = np.asarray(self.state.block_idx, np.uint32).reshape(1)
                     all_seq = np.concatenate([ref_seq, seqnums.astype(np.uint32)])
                     phases = np.concatenate(
-                        [np.ones(1, np.complex64), self._fetch_phases(telem)]
+                        [np.ones(1, np.complex64), self._fetch_phases(telem)[:na]]
                     )
                     self.publisher.publish(frame, all_seq, phases)
                     self._record_block(
                         phases[1:],
-                        np.asarray(telem.lag), np.asarray(telem.residual),
-                        np.asarray(telem.mag), np.asarray(telem.gap),
+                        np.asarray(telem.lag)[:na],
+                        np.asarray(telem.residual)[:na],
+                        np.asarray(telem.mag)[:na],
+                        np.asarray(telem.gap)[:na],
                     )
                     n += 1
+                    self._blocks_done += 1
             self._poll_control()
         if self.state_path:
             self.save_state()
@@ -365,10 +438,11 @@ class CoherentServer:
 
     def status(self) -> str:
         s = self.state
-        synced = np.asarray(s.synced)
-        lag = np.asarray(s.lag)
-        mag = np.asarray(s.mag)
-        gaps = np.asarray(s.gaps)
+        na = self.n_active
+        synced = np.asarray(s.synced)[:na]
+        lag = np.asarray(s.lag)[:na]
+        mag = np.asarray(s.mag)[:na]
+        gaps = np.asarray(s.gaps)[:na]
         lines = [f"{int(synced.sum())} / {len(synced)} synchronized"]
         lines.append(
             "Reference noise ENABLED."
@@ -398,7 +472,7 @@ class CoherentServer:
         return "\n".join(lines)
 
     def list_channels(self, all=False) -> str:
-        n = len(np.asarray(self.state.delay))
+        n = self.n_active
         serials = getattr(self.source, "serials", None)
         if serials and all:
             return "\n".join(
@@ -408,7 +482,9 @@ class CoherentServer:
         return f"{n} signal channels + ref"
 
     def phase_table(self) -> str:
-        ph = np.degrees(np.angle(np.asarray(self._fetch_phases_state())))
+        ph = np.degrees(
+            np.angle(np.asarray(self._fetch_phases_state())[: self.n_active])
+        )
         return "\t".join(str(int(p)) for p in ph)
 
     def _fetch_phases_state(self):
@@ -431,7 +507,9 @@ class CoherentServer:
     def add_channel(self, serial: str) -> str:
         if not hasattr(self.source, "add_channel"):
             return "add not supported for this source"
-        old_n = self.cfg.n_channels
+        old_n = self.n_active
+        if self.max_channels is not None and old_n + 1 > self.max_channels:
+            return f"channel limit reached ({self.max_channels})"
         idx = self.source.add_channel(serial)
         self._resize_channels(list(range(old_n)) + [-1])
         return f"added '{serial}' as channel {idx + 1}"  # wire ch 0 = ref
@@ -439,7 +517,7 @@ class CoherentServer:
     def del_channel(self, serial: str) -> str:
         if not hasattr(self.source, "del_channel"):
             return "del not supported for this source"
-        old_n = self.cfg.n_channels
+        old_n = self.n_active
         i = self.source.del_channel(serial)
         if i is None:
             return f"no such channel: '{serial}'"

@@ -275,51 +275,42 @@ def _load_half_raw(dot, raw, si, sq):
             dot(a, sq).astype(jnp.bfloat16))
 
 
-def _ref_fft_kernel_i8(
-    fre_ref, fim_ref, tre_ref, tim_ref, si_ref, sq_ref, rt_ref, rb_ref,
-    rre_ref, rim_ref,
-):
-    """Window FFT of the reference channel straight from raw interleaved i8
-    IQ bytes (block t = ``[1, m/2, 2m]``)."""
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    fre = fre_ref[:].astype(jnp.bfloat16)
-    fim = fim_ref[:].astype(jnp.bfloat16)
-    si = si_ref[:]
-    sq = sq_ref[:]
-    at_re, at_im = _load_half_raw(dot, rt_ref[0], si, sq)
-    ab_re, ab_im = _load_half_raw(dot, rb_ref[0], si, sq)
-    dre, dim = _forward_fft_split(
-        dot, fre, fim, tre_ref[:], tim_ref[:], at_re, at_im, ab_re, ab_im
-    )
-    rre_ref[0] = dre.astype(jnp.bfloat16)
-    rim_ref[0] = dim.astype(jnp.bfloat16)
-
-
 def _measure_kernel_i8(
     fre_ref, fim_ref, tre_ref, tim_ref, kg_ref, fg_ref, p_ref, q_ref,
-    si_ref, sq_ref, xt_ref, xb_ref, rre_ref, rim_ref,
-    lag_ref, zre_ref, zim_ref, esig_ref, eg_ref,
+    si_ref, sq_ref, xt_ref, xb_ref, rt_ref, rb_ref,
+    lag_ref, zre_ref, zim_ref, mag_ref, papr_ref,
     *, W: int,
 ):
     """i8-native measure: raw interleaved bytes in (dequant + de-interleave
-    prologue), forward FFT + conj-mul + in-kernel phase-zoom. Outputs the
-    COMPLEX correlation value z (not just |z|): arg(z) is the phase
-    correction estimate (Parseval — see _phase_zoom_core), so the streaming
-    step gets its phase estimate for free instead of a separate eager
-    conj-dot pass over the output."""
+    prologue), forward FFTs of BOTH the channel window and the reference
+    window, conj-mul + in-kernel phase-zoom. The reference spectrum is
+    recomputed per channel step — ~25 bf16 MFLOP of free MXU time that
+    buys the removal of a separate ref-FFT kernel (a 1-grid-step pallas
+    call measured at ~250 us/call on this backend) and its HBM spectrum
+    round-trip.
+
+    Outputs per (window, channel): fractional lag; the COMPLEX correlation
+    value z (arg(z) is the phase-correction estimate — Parseval, see
+    _phase_zoom_core — so the step gets its phase estimate for free);
+    normalized correlation mag = |z|/sqrt(E_sig*E_ref); Parseval PAPR."""
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     fre = fre_ref[:].astype(jnp.bfloat16)
     fim = fim_ref[:].astype(jnp.bfloat16)
+    tre = tre_ref[:]
+    tim = tim_ref[:]
     si = si_ref[:]
     sq = sq_ref[:]
     at_re, at_im = _load_half_raw(dot, xt_ref[0, 0], si, sq)
     ab_re, ab_im = _load_half_raw(dot, xb_ref[0, 0], si, sq)
     dre, dim = _forward_fft_split(
-        dot, fre, fim, tre_ref[:], tim_ref[:], at_re, at_im, ab_re, ab_im
+        dot, fre, fim, tre, tim, at_re, at_im, ab_re, ab_im
+    )
+    rt_re, rt_im = _load_half_raw(dot, rt_ref[0], si, sq)
+    rb_re, rb_im = _load_half_raw(dot, rb_ref[0], si, sq)
+    rre, rim = _forward_fft_split(
+        dot, fre, fim, tre, tim, rt_re, rt_im, rb_re, rb_im
     )
 
-    rre = rre_ref[0].astype(jnp.float32)
-    rim = rim_ref[0].astype(jnp.float32)
     gre = dre * rre + dim * rim
     gim = dim * rre - dre * rim
 
@@ -327,13 +318,18 @@ def _measure_kernel_i8(
         dot, gre, gim, kg_ref[:], fg_ref[:], p_ref[:], q_ref[:], W
     )
 
+    esig = jnp.sum(dre * dre + dim * dim)
+    eref = jnp.sum(rre * rre + rim * rim)
+    zabs = jnp.sqrt(z_re * z_re + z_im * z_im)
+    denom = jnp.sqrt(esig * eref)
+
     i = pl.program_id(0)
     j = pl.program_id(1)
     lag_ref[i, j] = lag
     zre_ref[i, j] = z_re
     zim_ref[i, j] = z_im
-    esig_ref[i, j] = jnp.sum(dre * dre + dim * dim)
-    eg_ref[i, j] = eg
+    mag_ref[i, j] = zabs / jnp.maximum(denom, 1e-30)
+    papr_ref[i, j] = zabs * zabs / jnp.maximum(eg, 1e-30)
 
 
 def _apply_kernel_i8(
@@ -535,39 +531,12 @@ class FusedPipelineKernels:
     # live inside the kernels.
     # ------------------------------------------------------------------
 
-    def ref_fft_i8(self, ref_raw: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """ref_raw ``[T, m/2, 2m]`` i8 raw blocks -> permuted window spectra
-        (rre, rim) each ``[T-1, m, m]`` bf16."""
-        T = ref_raw.shape[0]
-        m = self.m
-        t = self._t
-        tab = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
-                                     memory_space=pltpu.VMEM)
-        blk_t = pl.BlockSpec((1, m // 2, 2 * m), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-        blk_b = pl.BlockSpec((1, m // 2, 2 * m), lambda i: (i + 1, 0, 0),
-                             memory_space=pltpu.VMEM)
-        r_out = pl.BlockSpec((1, m, m), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            _ref_fft_kernel_i8,
-            grid=(T - 1,),
-            in_specs=[tab(t["fre"]), tab(t["fim"]), tab(t["tre"]), tab(t["tim"]),
-                      tab(t["si"]), tab(t["sq"]), blk_t, blk_b],
-            out_specs=(r_out, r_out),
-            out_shape=(
-                jax.ShapeDtypeStruct((T - 1, m, m), jnp.bfloat16),
-                jax.ShapeDtypeStruct((T - 1, m, m), jnp.bfloat16),
-            ),
-            interpret=self._interpret,
-        )(t["fre"], t["fim"], t["tre"], t["tim"], t["si"], t["sq"],
-          ref_raw, ref_raw)
-
     def measure_i8(
-        self, raw: jnp.ndarray, rre: jnp.ndarray, rim: jnp.ndarray
+        self, raw: jnp.ndarray, ref_raw: jnp.ndarray
     ) -> Tuple[jnp.ndarray, ...]:
-        """raw ``[T, N, m/2, 2m]`` i8 blocks; rre/rim ``[T-1, m, m]`` bf16.
-        Returns (lag, z_re, z_im, sum|D|^2, sum|G|^2) each ``[T-1, N]``."""
+        """raw ``[T, N, m/2, 2m]`` i8 blocks; ref_raw ``[T, m/2, 2m]`` i8
+        reference blocks (window FFT computed in-kernel). Returns
+        (lag, z_re, z_im, mag, papr) each ``[T-1, N]``."""
         T, N = raw.shape[:2]
         m = self.m
         t = self._t
@@ -577,8 +546,10 @@ class FusedPipelineKernels:
                              memory_space=pltpu.VMEM)
         blk_b = pl.BlockSpec((1, 1, m // 2, 2 * m), lambda i, j: (i + 1, j, 0, 0),
                              memory_space=pltpu.VMEM)
-        r_spec = pl.BlockSpec((1, m, m), lambda i, j: (i, 0, 0),
-                              memory_space=pltpu.VMEM)
+        ref_t = pl.BlockSpec((1, m // 2, 2 * m), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        ref_b = pl.BlockSpec((1, m // 2, 2 * m), lambda i, j: (i + 1, 0, 0),
+                             memory_space=pltpu.VMEM)
         s_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         return pl.pallas_call(
             functools.partial(_measure_kernel_i8, W=self.fft_len),
@@ -586,13 +557,13 @@ class FusedPipelineKernels:
             in_specs=[tab(t["fre"]), tab(t["fim"]), tab(t["tre"]), tab(t["tim"]),
                       tab(t["kg"]), tab(t["fg"]), tab(t["p"]), tab(t["q"]),
                       tab(t["si"]), tab(t["sq"]),
-                      blk_t, blk_b, r_spec, r_spec],
+                      blk_t, blk_b, ref_t, ref_b],
             out_specs=(s_spec,) * 5,
             out_shape=tuple(jax.ShapeDtypeStruct((T - 1, N), jnp.float32)
                             for _ in range(5)),
             interpret=self._interpret,
         )(t["fre"], t["fim"], t["tre"], t["tim"], t["kg"], t["fg"],
-          t["p"], t["q"], t["si"], t["sq"], raw, raw, rre, rim)
+          t["p"], t["q"], t["si"], t["sq"], raw, raw, ref_raw, ref_raw)
 
     def apply_i8(
         self, raw: jnp.ndarray, advance: jnp.ndarray,

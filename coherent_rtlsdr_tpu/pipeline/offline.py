@@ -39,8 +39,8 @@ class OfflineResult(NamedTuple):
     phase: jnp.ndarray     # [T-1, N] c64 applied phase factors
     # fft_impl='fused' i8-native extras: the int8 wire frames straight from
     # the apply kernel (aligned/ref are then wire-fidelity reconstructions).
-    wire: Optional[jnp.ndarray] = None      # [T-1, N, L, 2] int8
-    wire_ref: Optional[jnp.ndarray] = None  # [T-1, L, 2] int8
+    wire: Optional[jnp.ndarray] = None      # [T-1, N, 2L] int8 flat bytes
+    wire_ref: Optional[jnp.ndarray] = None  # [T-1, 2L] int8 flat bytes
 
 
 def _ema_scan(x: jnp.ndarray, alpha: float, w: jnp.ndarray) -> jnp.ndarray:
@@ -157,21 +157,16 @@ def _align_offline_fused_i8(
     ``aligned`` is the int8 wire reconstruction — what clients receive."""
     k = sp._k
     m = k.m
-    T, N, L, _ = sig_u8.shape
-    raw = u8_to_i8(sig_u8).reshape(T, N, m // 2, 2 * m)
-    ref_i8 = u8_to_i8(ref_u8)                            # [T, L, 2]
-    ref_raw = ref_i8.reshape(T, m // 2, 2 * m)
+    T, N = sig_u8.shape[:2]
+    L = cfg.block_len
+    # Accept [T, N, L, 2] or flat [T, N, 2L] bytes; reshape to the wide
+    # layout BEFORE the XOR so the elementwise pass runs on well-tiled
+    # arrays (a minor dim of 2 is 64x tile-bloated on TPU).
+    raw = u8_to_i8(sig_u8.reshape(T, N, m // 2, 2 * m))
+    ref_raw = u8_to_i8(ref_u8.reshape(T, m // 2, 2 * m))
 
-    rre, rim = k.ref_fft_i8(ref_raw)                     # [T-1, m, m]
-    lag, zre, zim, esig, eg = k.measure_i8(raw, rre, rim)
+    lag, zre, zim, mag, papr = k.measure_i8(raw, ref_raw)
     zabs = jnp.sqrt(zre * zre + zim * zim)
-    e_ref = jnp.sum(
-        rre.astype(jnp.float32) ** 2 + rim.astype(jnp.float32) ** 2,
-        axis=(-2, -1),
-    )                                                    # [T-1]
-    denom = jnp.sqrt(esig * e_ref[:, None])
-    mag = zabs / jnp.where(denom > 0, denom, 1.0)
-    papr = zabs * zabs / jnp.where(eg > 0, eg, 1.0)
 
     delay = smooth_delays(cfg, lag, mag, smoothing)
     delay = jnp.clip(delay, -cfg.max_delay, cfg.max_delay)
@@ -183,12 +178,13 @@ def _align_offline_fused_i8(
     pc = _smooth_phases(cfg, pc_inst, mag, smoothing)
 
     wire_raw = k.apply_i8(raw, delay, jnp.real(pc), jnp.imag(pc))
-    wire = wire_raw.reshape(T - 1, N, L, 2)
+    wire = wire_raw.reshape(T - 1, N, 2 * L)             # FLAT wire bytes
     wire_ref = jnp.concatenate(
-        [ref_i8[:-1, L // 2:], ref_i8[1:, : L // 2]], axis=1
-    )                                                    # [T-1, L, 2]
+        [ref_raw[:-1, m // 4:], ref_raw[1:, : m // 4]], axis=1
+    ).reshape(T - 1, 2 * L)                              # [T-1, 2L] flat
     return OfflineResult(
-        aligned=i8_iq_to_c64(wire), ref=i8_iq_to_c64(wire_ref),
+        aligned=i8_iq_to_c64(wire.reshape(T - 1, N, L, 2)),
+        ref=i8_iq_to_c64(wire_ref.reshape(T - 1, L, 2)),
         lag=lag, delay=delay, mag=mag, papr=papr, phase=pc,
         wire=wire, wire_ref=wire_ref,
     )

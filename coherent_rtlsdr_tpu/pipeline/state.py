@@ -71,8 +71,8 @@ class PipelineState(struct.PyTreeNode):
     synced: jnp.ndarray    # [N] bool
     hist: jnp.ndarray      # previous block (overlap-save): [N, L, 2] f32, or
                            # [N, m/2, 2m] i8 raw bytes when fft_impl='fused'
-    ref_hist: jnp.ndarray  # previous ref block: [L, 2] f32, or [L, 2] i8 raw
-                           # when fft_impl='fused'
+    ref_hist: jnp.ndarray  # previous ref block: [L, 2] f32, or [m/2, 2m] i8
+                           # raw bytes when fft_impl='fused'
     block_idx: jnp.ndarray  # i32 scalar
     # In-pipeline seqnum-gap detection (the reference only detects drops
     # client-side via seqnums, README.md:42 / cpacketizer.cc:113,142):
@@ -109,16 +109,18 @@ class BlockOutput(struct.PyTreeNode):
     on CPU; TPU callers must reduce them to real dtypes (int8 wire format /
     float pairs) before returning from jit (see io/server.py, bench.py).
 
-    The fused u8-native path (fft_impl='fused') additionally emits the int8
-    wire frame directly from its apply kernel (``wire``/``wire_ref``); its
-    ``aligned``/``ref`` are then reconstructions from the wire bytes (same
-    fidelity the clients see) that XLA dead-code-eliminates when unused."""
+    The fused i8-native path (fft_impl='fused') additionally emits the int8
+    wire frame directly from its apply kernel (``wire``/``wire_ref``) as
+    FLAT interleaved bytes — [N, 2L]/[2L], reshape host-side; a [.., L, 2]
+    byte array would be 64x tile-bloated on TPU. Its ``aligned``/``ref``
+    are then reconstructions from the wire bytes (same fidelity the clients
+    see) that XLA dead-code-eliminates when unused."""
 
     aligned: jnp.ndarray   # [N, L] c64 corrected signal channels
     ref: jnp.ndarray       # [L] c64 reference channel (same pipeline latency)
     telemetry: Telemetry
-    wire: Optional[jnp.ndarray] = None       # [N, L, 2] int8 wire frame
-    wire_ref: Optional[jnp.ndarray] = None   # [L, 2] int8 ref channel
+    wire: Optional[jnp.ndarray] = None       # [N, 2L] int8 wire bytes (flat)
+    wire_ref: Optional[jnp.ndarray] = None   # [2L] int8 ref bytes (flat)
 
 
 def init_state(cfg: PipelineConfig) -> PipelineState:
@@ -129,9 +131,11 @@ def init_state(cfg: PipelineConfig) -> PipelineState:
         # removal (u8 XOR 0x80 — Mosaic has no u8->f32 cast), kept RAW and
         # interleaved (row r of [m/2, 2m] = samples [r*m, (r+1)*m) as
         # I0 Q0 I1 Q1 ...); the fused kernels de-interleave internally.
+        # Byte arrays must never have a minor dim of 2 on TPU (64x tile
+        # bloat) — both leaves stay in the wide [*, 2m] layout.
         m = int(round((2 * L) ** 0.5))
         hist = jnp.zeros((N, L // m, 2 * m), jnp.int8)
-        ref_hist = jnp.zeros((L, 2), jnp.int8)
+        ref_hist = jnp.zeros((L // m, 2 * m), jnp.int8)
     else:
         hist = jnp.zeros((N, L, 2), jnp.float32)
         ref_hist = jnp.zeros((L, 2), jnp.float32)

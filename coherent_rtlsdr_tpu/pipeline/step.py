@@ -204,31 +204,23 @@ def _step_fused_u8(
     seq, gap, new_gaps, meas_ok = _seq_gap(state, seq, update_gate)
 
     # Offset removal (XOR 0x80) is the ONLY eager pass over the samples —
-    # elementwise, no relayout; [L, 2] -> [m/2, 2m] is a free reshape of the
-    # same interleaved bytes. Dequant/de-interleave happen in the kernels
-    # (a strided byte gather costs ~400 us/blk on the VPU; as an in-kernel
-    # selection matmul it is noise).
+    # elementwise, no relayout. CRITICAL layout rule: byte arrays with a
+    # minor dim of 2 ([N, L, 2]) get (32, 128)-tiled on TPU with 2 valid
+    # lanes per tile — a 64x physical bloat that makes even an XOR cost
+    # ~800 us/blk. Hot callers therefore pass FLAT bytes ([N, 2L]); the
+    # reshape below normalizes either logical shape, but only the wide
+    # layout is fast on device. Dequant/de-interleave happen inside the
+    # kernels as 0/1 selection matmuls.
     N = cfg.n_channels
-    sig_i8 = u8_to_i8(sig_u8)                             # [N, L, 2]
-    ref_i8 = u8_to_i8(ref_u8)                             # [L, 2]
-    raw_cur = sig_i8.reshape(N, m // 2, 2 * m)
+    raw_cur = u8_to_i8(sig_u8.reshape(N, m // 2, 2 * m))  # [N, m/2, 2m]
+    ref_cur = u8_to_i8(ref_u8.reshape(m // 2, 2 * m))     # [m/2, 2m]
     raw = jnp.stack([state.hist, raw_cur])                # [2, N, m/2, 2m]
-    ref_raw = jnp.stack(
-        [state.ref_hist.reshape(m // 2, 2 * m), ref_i8.reshape(m // 2, 2 * m)]
-    )                                                     # [2, m/2, 2m]
+    ref_raw = jnp.stack([state.ref_hist, ref_cur])        # [2, m/2, 2m]
 
-    rre, rim = k.ref_fft_i8(ref_raw)                      # [1, m, m] bf16
-    lag_b, zre_b, zim_b, esig_b, eg_b = k.measure_i8(raw, rre, rim)
+    lag_b, zre_b, zim_b, mag_b, papr_b = k.measure_i8(raw, ref_raw)
     lag, zre, zim = lag_b[0], zre_b[0], zim_b[0]
-    esig, eg = esig_b[0], eg_b[0]
-
+    mag, papr = mag_b[0], papr_b[0]
     zabs = jnp.sqrt(zre * zre + zim * zim)
-    e_ref = jnp.sum(
-        rre.astype(jnp.float32) ** 2 + rim.astype(jnp.float32) ** 2
-    )
-    denom = jnp.sqrt(esig * e_ref)
-    mag = zabs / jnp.where(denom > 0, denom, 1.0)
-    papr = zabs * zabs / jnp.where(eg > 0, eg, 1.0)       # Parseval PAPR
 
     new_delay, new_synced = control_update(
         cfg, state.delay, state.synced, lag, mag, meas_ok
@@ -249,22 +241,23 @@ def _step_fused_u8(
         raw, new_delay[None],
         jnp.real(new_phase)[None], jnp.imag(new_phase)[None],
     )[0]                                                  # [N, m/2, 2m] i8
-    wire = wire_raw.reshape(N, L, 2)                      # free reshape
+    wire = wire_raw.reshape(N, 2 * L)                     # FLAT wire bytes
     # Reference channel: raw passthrough at the same pipeline latency
     # (cpacketizer.cc:137-156 — ref is never requantized, only re-signed).
+    # Half a block = m/4 raw rows.
     wire_ref = jnp.concatenate(
-        [state.ref_hist[L // 2:], ref_i8[: L // 2]], axis=0
-    )                                                     # [L, 2] int8
+        [state.ref_hist[m // 4:], ref_cur[: m // 4]], axis=0
+    ).reshape(2 * L)                                      # [2L] int8 flat
 
     # Wire-fidelity complex views (DCE'd by XLA when the caller only
     # consumes wire/wire_ref — the server/driver hot paths do).
-    aligned = i8_iq_to_c64(wire)
-    out_ref = i8_iq_to_c64(wire_ref)
+    aligned = i8_iq_to_c64(wire.reshape(N, L, 2))
+    out_ref = i8_iq_to_c64(wire_ref.reshape(L, 2))
 
-    f = sig_u8.astype(jnp.float32) - 128.0
-    rms_val = jnp.sqrt(
-        jnp.mean(f[..., 0] ** 2 + f[..., 1] ** 2, axis=-1)
-    ) * IQ_SCALE
+    # Block RMS from the well-tiled raw bytes: mean(I^2+Q^2) over L samples
+    # = 2 * mean(byte^2) over the 2L interleaved bytes.
+    f = raw_cur.astype(jnp.float32)
+    rms_val = jnp.sqrt(2.0 * jnp.mean(f * f, axis=(-2, -1))) * IQ_SCALE
 
     telemetry = Telemetry(
         lag=lag,
@@ -285,7 +278,7 @@ def _step_fused_u8(
         papr=papr,
         synced=new_synced,
         hist=raw_cur,
-        ref_hist=ref_i8,
+        ref_hist=ref_cur,
         block_idx=state.block_idx + 1,
         last_seq=seq,
         gaps=new_gaps,

@@ -330,15 +330,17 @@ class TestFusedKernels:
         )
         assert bool(jnp.all(sf.synced))
         # wire frames agree to a couple of int8 LSB (bf16 kernels + the
-        # full-window-vs-center-half phase estimator delta)
+        # full-window-vs-center-half phase estimator delta); fused wire is
+        # FLAT bytes [N, 2L]
         assert of.wire is not None and of.wire.dtype == jnp.int8
         wx = np.asarray(c64_to_i8_iq(ox.aligned), np.int32)
-        wf = np.asarray(of.wire, np.int32)
+        wf = np.asarray(of.wire, np.int32).reshape(wx.shape)
         assert np.mean(np.abs(wf - wx)) < 1.0
         assert np.percentile(np.abs(wf - wx), 99) <= 3
         # ref channel is a bit-exact raw passthrough
         np.testing.assert_array_equal(
-            np.asarray(of.wire_ref), np.asarray(c64_to_i8_iq(ox.ref))
+            np.asarray(of.wire_ref).reshape(-1, 2),
+            np.asarray(c64_to_i8_iq(ox.ref)),
         )
         # reconstructed aligned view is coherent with the ref
         a = np.asarray(of.aligned)

@@ -360,3 +360,72 @@ class TestStreamContinuity:
                     rho = z / (np.linalg.norm(a[ch]) * np.linalg.norm(r))
                     worst = min(worst, rho)
         assert worst > 0.995, worst
+
+
+class TestHotPlugPadded:
+    """max_channels padding: console add/del reuse the compiled executable
+    (no recompile stall — VERDICT weak #4) and calibration survives."""
+
+    def _padded_server(self, n=3, max_channels=6, **kw):
+        truth = make_truth(n, seed=0, max_delay=20.0, snr_db=30.0)
+        src = SyntheticStreamSource(truth, block_len=L, slab_blocks=8, seed=0)
+        cfg = PipelineConfig(n_channels=n, block_len=L)
+        pub, ctl = FakePublisher(), FakeControl()
+        srv = CoherentServer(
+            cfg, src, publisher=pub, control=ctl,
+            max_channels=max_channels, **kw,
+        )
+        return srv, pub, ctl, truth
+
+    def test_add_del_no_recompile(self):
+        srv, pub, ctl, truth = self._padded_server()
+        assert srv.cfg.n_channels == 6  # jit width = max_channels
+        assert srv.n_active == 3
+        srv.run(max_blocks=8)
+        builds = srv.n_jit_builds
+        delay_before = np.asarray(srv.state.delay)[:3].copy()
+        assert bool(np.all(np.asarray(srv.state.synced)[:3]))
+
+        ctl.queue.append("add NEWCH")
+        srv.run(max_blocks=9)
+        assert srv.n_jit_builds == builds  # same executable, no rebuild
+        assert srv.n_active == 4
+        frame = pub.frames[-1]
+        assert frame[0].shape[0] == 5  # ref + 4 ACTIVE channels only
+        np.testing.assert_allclose(
+            np.asarray(srv.state.delay)[:3], delay_before, atol=0.05
+        )
+        assert bool(np.all(np.asarray(srv.state.synced)[:4]))
+
+        ctl.queue.append("del SYN 1")
+        srv.run(max_blocks=2)
+        assert srv.n_jit_builds == builds
+        assert srv.n_active == 3
+        assert pub.frames[-1][0].shape[0] == 4  # ref + 3
+        # surviving channels: SYN 0, SYN 2 keep calibration; NEWCH acquired
+        np.testing.assert_allclose(
+            np.asarray(srv.state.delay)[:2], truth.delays[[0, 2]], atol=0.1
+        )
+
+    def test_no_phantom_gaps_on_pad_rows(self):
+        srv, pub, ctl, _ = self._padded_server()
+        srv.run(max_blocks=10)
+        gaps = np.asarray(srv.state.gaps)
+        assert gaps[: srv.n_active].sum() == 0
+        assert "seqnum gaps: 0 total" in srv.status()
+
+    def test_add_beyond_limit_refused(self):
+        srv, _, _, _ = self._padded_server(n=3, max_channels=3)
+        out = srv.add_channel("X")
+        assert "limit" in out
+        assert srv.n_active == 3
+
+    def test_padded_scan_depth(self):
+        """Padding works through the lax.scan micro-batch driver too."""
+        srv, pub, ctl, truth = self._padded_server(scan_depth=4)
+        srv.run(max_blocks=12)
+        assert pub.frames[-1][0].shape[0] == 4  # ref + 3 active
+        np.testing.assert_allclose(
+            np.asarray(srv.state.delay)[:3], truth.delays, atol=0.1
+        )
+        assert bool(np.all(np.asarray(srv.state.synced)[:3]))
