@@ -40,6 +40,18 @@ def main():
     ap.add_argument("--spacing", type=float, default=0.5)
     ap.add_argument("--sources", type=int, default=1)
     ap.add_argument("--method", choices=["music", "bartlett", "mvdr"], default="music")
+    ap.add_argument(
+        "--coarray", default=None, metavar="BXxBY",
+        help="sparse-array co-array MUSIC (DA2D.m pipeline): augment the "
+             "covariance over a filled BXxBY virtual URA and scan MUSIC on "
+             "it — resolves more sources than physical sensors. Requires "
+             "--positions.",
+    )
+    ap.add_argument(
+        "--positions", default=None,
+        help="physical sensor INTEGER grid positions for --coarray: "
+             "'x0,y0;x1,y1;...' or a .npy file of shape [N, 2]",
+    )
     ap.add_argument("--grid", type=int, default=100)
     ap.add_argument("-o", "--out", default="heatmap.npy")
     ap.add_argument("--timeout-ms", type=int, default=600000)
@@ -80,16 +92,35 @@ def main():
     if n != args.rows * args.cols:
         print(f"warning: {n} channels != {args.rows}x{args.cols} array")
 
-    pos = ura_positions(args.rows, args.cols, args.spacing)[:n]
     uv, ax = uv_grid(args.grid)
-    A = steering_vectors(pos, uv)
     R = sample_covariance(jnp.asarray(X))
-    if args.method == "music":
-        P = music_spectrum(R, A, args.sources)
-    elif args.method == "bartlett":
-        P = bartlett_spectrum(R, A)
+    if args.coarray:
+        from coherent_rtlsdr_tpu.models import coarray_music_spectrum
+
+        if not args.positions:
+            ap.error("--coarray requires --positions")
+        bx, by = (int(v) for v in args.coarray.lower().split("x"))
+        if args.positions.endswith(".npy"):
+            gpos = np.load(args.positions).astype(np.int64)
+        else:
+            gpos = np.asarray(
+                [[int(c) for c in p.split(",")] for p in args.positions.split(";")],
+                np.int64,
+            )
+        if len(gpos) != n:
+            print(f"warning: {n} channels != {len(gpos)} positions")
+        P = coarray_music_spectrum(
+            R, gpos[:n], (bx, by), uv, args.sources, spacing=args.spacing
+        )
     else:
-        P = mvdr_spectrum(R, A)
+        pos = ura_positions(args.rows, args.cols, args.spacing)[:n]
+        A = steering_vectors(pos, uv)
+        if args.method == "music":
+            P = music_spectrum(R, A, args.sources)
+        elif args.method == "bartlett":
+            P = bartlett_spectrum(R, A)
+        else:
+            P = mvdr_spectrum(R, A)
     P = np.asarray(P).reshape(args.grid, args.grid)
 
     np.save(args.out, P)

@@ -22,6 +22,8 @@ from coherent_rtlsdr_tpu.models.beamform import (
 from coherent_rtlsdr_tpu.models.coarray import (
     difference_coarray,
     augmented_covariance,
+    coarray_music_spectrum,
+    virtual_ura,
 )
 
 __all__ = [
@@ -36,4 +38,6 @@ __all__ = [
     "music_heatmap",
     "difference_coarray",
     "augmented_covariance",
+    "coarray_music_spectrum",
+    "virtual_ura",
 ]

@@ -50,6 +50,38 @@ def coarray_covariance_lags(
     return r, lags
 
 
+def virtual_ura(box: Tuple[int, int], spacing: float = 0.5) -> np.ndarray:
+    """Element positions (wavelengths) of the filled virtual URA that
+    :func:`augmented_covariance` synthesizes, in ITS element order."""
+    bx, by = box
+    return np.asarray(
+        [(x * spacing, y * spacing) for y in range(by) for x in range(bx)],
+        np.float32,
+    )
+
+
+def coarray_music_spectrum(
+    R: jnp.ndarray,
+    grid_positions: np.ndarray,
+    box: Tuple[int, int],
+    uv: jnp.ndarray,
+    n_sources: int,
+    spacing: float = 0.5,
+) -> jnp.ndarray:
+    """Sparse-array MUSIC via direct augmentation (the reference authors'
+    EUSIPCO'20 pipeline: darray.m -> DA2D.m -> pmusic.m with co-array
+    processing, matlabclient/functions/pmusic.m:19-25): average the physical
+    covariance over co-array lags, rebuild the filled virtual-URA covariance,
+    and scan MUSIC on the VIRTUAL array — resolving more sources than
+    physical sensors (up to bx*by - 1)."""
+    from coherent_rtlsdr_tpu.models.beamform import music_spectrum
+    from coherent_rtlsdr_tpu.models.geometry import steering_vectors
+
+    Ra = augmented_covariance(R, grid_positions, box)
+    A = steering_vectors(jnp.asarray(virtual_ura(box, spacing)), uv)
+    return music_spectrum(Ra, A, n_sources)
+
+
 def augmented_covariance(
     R: jnp.ndarray, grid_positions: np.ndarray, box: Tuple[int, int]
 ) -> jnp.ndarray:

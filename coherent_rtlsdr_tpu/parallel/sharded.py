@@ -203,22 +203,17 @@ def make_sharded_step(cfg: PipelineConfig, mesh, donate: bool = True):
     The per-channel DSP is collective-free; cross-chip traffic is only the
     replicated L-sample reference block per step.
     """
+    import dataclasses
+
     n_ch_shards = mesh.shape[CHANNEL_AXIS]
     if cfg.n_channels % n_ch_shards:
         raise ValueError(
             f"n_channels={cfg.n_channels} not divisible by channel shards={n_ch_shards}"
         )
-    local_cfg = PipelineConfig(
-        n_channels=cfg.n_channels // n_ch_shards,
-        block_len=cfg.block_len,
-        fs=cfg.fs,
-        sync_threshold=cfg.sync_threshold,
-        phase_alpha=cfg.phase_alpha,
-        ctrl_gain=cfg.ctrl_gain,
-        ctrl_scale=cfg.ctrl_scale,
-        max_delay=cfg.max_delay,
-        lag_method=cfg.lag_method,
-        min_corr_mag=cfg.min_corr_mag,
+    # replace() keeps EVERY config field (fft_impl/mxu_precision included —
+    # the local step runs whatever backend the global config selects).
+    local_cfg = dataclasses.replace(
+        cfg, n_channels=cfg.n_channels // n_ch_shards
     )
 
     def local_fn(state, sig_u8, ref_u8, update_gate):
@@ -236,7 +231,16 @@ def make_sharded_step(cfg: PipelineConfig, mesh, donate: bool = True):
         papr=P(CHANNEL_AXIS), phase=P(CHANNEL_AXIS, None), synced=P(CHANNEL_AXIS),
         rms=P(CHANNEL_AXIS), gap=P(CHANNEL_AXIS), gaps=P(CHANNEL_AXIS),
     )
-    ospec = BlockOutput(aligned=P(CHANNEL_AXIS, None), ref=P(None), telemetry=tspec)
+    if cfg.fft_impl == "fused":
+        # the i8 path also emits flat int8 wire bytes (channel-sharded)
+        ospec = BlockOutput(
+            aligned=P(CHANNEL_AXIS, None), ref=P(None), telemetry=tspec,
+            wire=P(CHANNEL_AXIS, None), wire_ref=P(None),
+        )
+    else:
+        ospec = BlockOutput(
+            aligned=P(CHANNEL_AXIS, None), ref=P(None), telemetry=tspec
+        )
 
     fn = shard_map(
         local_fn,

@@ -117,3 +117,39 @@ class TestCoarray:
         R = jnp.eye(2, dtype=jnp.complex64)
         with pytest.raises(ValueError):
             augmented_covariance(R, sparse, box=(4, 1))
+
+    def test_coarray_music_resolves_more_sources_than_sensors(self):
+        """The DA2D.m capability end-to-end: a 4-sensor minimum-redundancy
+        array {0,1,4,6} spans a 7-element virtual ULA; co-array MUSIC
+        resolves FIVE uncorrelated sources — more than the 3 a 4-sensor
+        physical MUSIC can ever separate."""
+        from coherent_rtlsdr_tpu.models import coarray_music_spectrum, uv_grid
+
+        sparse = np.array([[0, 0], [1, 0], [4, 0], [6, 0]])
+        us = np.array([-0.72, -0.35, 0.0, 0.38, 0.7])  # source direction cosines
+        rng = np.random.default_rng(0)
+        T = 4000
+        # uncorrelated unit-power sources + small noise, spacing 0.5 wl/grid
+        S = (rng.normal(size=(5, T)) + 1j * rng.normal(size=(5, T))) / np.sqrt(2)
+        A = np.exp(
+            2j * np.pi * 0.5 * sparse[:, :1] * us[None, :]
+        )  # [4, 5]
+        X = A @ S + 0.03 * (
+            rng.normal(size=(4, T)) + 1j * rng.normal(size=(4, T))
+        )
+        R = jnp.asarray((X @ X.conj().T) / T, jnp.complex64)
+
+        grid = 241
+        uv, ax = uv_grid(grid)
+        P = np.asarray(
+            coarray_music_spectrum(R, sparse, (7, 1), uv, 5, spacing=0.5)
+        ).reshape(grid, grid)
+        u_profile = P.max(axis=0)  # collapse v (linear array)
+        axv = np.asarray(ax)
+        # find 5 distinct local maxima near the true directions
+        for u_true in us:
+            window = (axv > u_true - 0.08) & (axv < u_true + 0.08)
+            outside = ~((axv > u_true - 0.15) & (axv < u_true + 0.15))
+            assert u_profile[window].max() > 3.0 * np.median(u_profile[outside]), u_true
+            u_pk = axv[window][int(np.argmax(u_profile[window]))]
+            assert abs(u_pk - u_true) < 0.05, (u_pk, u_true)
