@@ -39,7 +39,7 @@ from coherent_rtlsdr_tpu.pipeline import PipelineConfig, align_offline, init_sta
 
 N_CH = 21
 L = 8192
-T_BLOCKS = 64  # blocks per offline slab (1 dispatch/slab amortizes the RTT)
+T_BLOCKS = 128  # blocks per offline slab (1 dispatch/slab amortizes the RTT)
 SCAN_K = 32    # streaming micro-batch depth (throughput mode; 128 ms latency)
 BASELINE_SAMPLES_PER_S = 21 * 2.048e6  # reference real-time operating point
 

@@ -118,13 +118,15 @@ def _forward_fft_split(dot, fre, fim, tre, tim, at_re, at_im, ab_re, ab_im):
     return dre, dim
 
 
-def _dq_i8(x):
-    """In-kernel dequant of one raw i8 IQ plane: x * IQ_SCALE, bf16 (the
-    reference's cdsp::convtofloat, src/cdsp.cc:36-44, folded into the kernel
-    prologue — capture bytes never touch HBM in any wider dtype; the 128
-    offset removal / XOR 0x80 happens in the eager de-interleave pass since
-    Mosaic has no u8->f32 cast)."""
-    return (x.astype(jnp.float32) * IQ_SCALE).astype(jnp.bfloat16)
+def _dq_u8(x):
+    """In-kernel dequant of one RAW u8 IQ block: (x - 128) * IQ_SCALE, bf16
+    (the reference's cdsp::convtosigned + convtofloat, src/cdsp.cc:21-44,
+    folded into the kernel prologue). Mosaic has no u8->f32 cast, but XOR
+    0x80 + bitcast to i8 IS the offset removal (two's complement), and
+    i8->f32 converts fine — so the kernels consume the capture bytes exactly
+    as the source produced them; NOTHING touches the samples eagerly."""
+    i8 = pltpu.bitcast(x ^ jnp.uint8(0x80), jnp.int8)
+    return (i8.astype(jnp.float32) * IQ_SCALE).astype(jnp.bfloat16)
 
 
 def _phase_zoom_core(dot, gre, gim, kg, fg, p, q, W):
@@ -264,13 +266,13 @@ def _apply_kernel(
 
 
 def _load_half_raw(dot, raw, si, sq):
-    """Dequant + de-interleave one raw i8 half-window block ``[m/2, 2m]``
+    """Dequant + de-interleave one RAW u8 half-window block ``[m/2, 2m]``
     (bytes I0 Q0 I1 Q1 ... exactly as captured) into (re, im) bf16
     ``[m/2, m]`` planes. The de-interleave is a 0/1 selection matmul — a
     strided byte gather is pathological on the VPU (measured ~400 us/block
-    eagerly at 21ch), but as an MXU matmul it is noise. Selected i8 values
+    eagerly at 21ch), but as an MXU matmul it is noise. Dequantized values
     are exact in bf16."""
-    a = _dq_i8(raw)                       # [m/2, 2m] bf16
+    a = _dq_u8(raw)                       # [m/2, 2m] bf16
     return (dot(a, si).astype(jnp.bfloat16),
             dot(a, sq).astype(jnp.bfloat16))
 
@@ -278,16 +280,16 @@ def _load_half_raw(dot, raw, si, sq):
 def _measure_kernel_i8(
     fre_ref, fim_ref, tre_ref, tim_ref, kg_ref, fg_ref, p_ref, q_ref,
     si_ref, sq_ref, xt_ref, xb_ref, rt_ref, rb_ref,
-    lag_ref, zre_ref, zim_ref, mag_ref, papr_ref,
-    *, W: int,
+    lag_ref, zre_ref, zim_ref, mag_ref, papr_ref, esig_ref,
+    *, W: int, nc: int,
 ):
     """i8-native measure: raw interleaved bytes in (dequant + de-interleave
-    prologue), forward FFTs of BOTH the channel window and the reference
-    window, conj-mul + in-kernel phase-zoom. The reference spectrum is
-    recomputed per channel step — ~25 bf16 MFLOP of free MXU time that
-    buys the removal of a separate ref-FFT kernel (a 1-grid-step pallas
-    call measured at ~250 us/call on this backend) and its HBM spectrum
-    round-trip.
+    prologue), forward FFTs of BOTH the channel windows and the reference
+    window, conj-mul + in-kernel phase-zoom. Each grid step processes ``nc``
+    channels (static unrolled loop): the reference spectrum and all tables
+    are computed/loaded once per step, and the per-grid-step overhead
+    (block DMA issue + grid bookkeeping, a few us on this backend)
+    amortizes across the batch.
 
     Outputs per (window, channel): fractional lag; the COMPLEX correlation
     value z (arg(z) is the phase-correction estimate — Parseval, see
@@ -300,36 +302,39 @@ def _measure_kernel_i8(
     tim = tim_ref[:]
     si = si_ref[:]
     sq = sq_ref[:]
-    at_re, at_im = _load_half_raw(dot, xt_ref[0, 0], si, sq)
-    ab_re, ab_im = _load_half_raw(dot, xb_ref[0, 0], si, sq)
-    dre, dim = _forward_fft_split(
-        dot, fre, fim, tre, tim, at_re, at_im, ab_re, ab_im
-    )
     rt_re, rt_im = _load_half_raw(dot, rt_ref[0], si, sq)
     rb_re, rb_im = _load_half_raw(dot, rb_ref[0], si, sq)
     rre, rim = _forward_fft_split(
         dot, fre, fim, tre, tim, rt_re, rt_im, rb_re, rb_im
     )
-
-    gre = dre * rre + dim * rim
-    gim = dim * rre - dre * rim
-
-    lag, z_re, z_im, eg = _phase_zoom_core(
-        dot, gre, gim, kg_ref[:], fg_ref[:], p_ref[:], q_ref[:], W
-    )
-
-    esig = jnp.sum(dre * dre + dim * dim)
     eref = jnp.sum(rre * rre + rim * rim)
-    zabs = jnp.sqrt(z_re * z_re + z_im * z_im)
-    denom = jnp.sqrt(esig * eref)
 
     i = pl.program_id(0)
     j = pl.program_id(1)
-    lag_ref[i, j] = lag
-    zre_ref[i, j] = z_re
-    zim_ref[i, j] = z_im
-    mag_ref[i, j] = zabs / jnp.maximum(denom, 1e-30)
-    papr_ref[i, j] = zabs * zabs / jnp.maximum(eg, 1e-30)
+    for c in range(nc):
+        at_re, at_im = _load_half_raw(dot, xt_ref[0, c], si, sq)
+        ab_re, ab_im = _load_half_raw(dot, xb_ref[0, c], si, sq)
+        dre, dim = _forward_fft_split(
+            dot, fre, fim, tre, tim, at_re, at_im, ab_re, ab_im
+        )
+
+        gre = dre * rre + dim * rim
+        gim = dim * rre - dre * rim
+
+        lag, z_re, z_im, eg = _phase_zoom_core(
+            dot, gre, gim, kg_ref[:], fg_ref[:], p_ref[:], q_ref[:], W
+        )
+
+        esig = jnp.sum(dre * dre + dim * dim)
+        zabs = jnp.sqrt(z_re * z_re + z_im * z_im)
+        denom = jnp.sqrt(esig * eref)
+
+        lag_ref[i, j * nc + c] = lag
+        zre_ref[i, j * nc + c] = z_re
+        zim_ref[i, j * nc + c] = z_im
+        mag_ref[i, j * nc + c] = zabs / jnp.maximum(denom, 1e-30)
+        papr_ref[i, j * nc + c] = zabs * zabs / jnp.maximum(eg, 1e-30)
+        esig_ref[i, j * nc + c] = esig
 
 
 def _apply_kernel_i8(
@@ -337,14 +342,15 @@ def _apply_kernel_i8(
     si_ref, sq_ref, sit_ref, sqt_ref, xt_ref, xb_ref,
     adv_ref, pre_ref, pim_ref,
     y_ref,
-    *, W: int,
+    *, W: int, nc: int,
 ):
-    """i8-native apply: raw interleaved bytes in, wire bytes out, one kernel.
-    Dequant/de-interleave prologue; fractional-advance ramp with the
-    per-channel phase correction FOLDED INTO the ramp (a scalar multiply in
-    frequency domain is free); inverse four-step center rows; int8 wire
-    requantization + re-interleave epilogue (cpacketizer.cc:158-172 analog —
-    the output block is byte-identical to the wire frame payload)."""
+    """i8-native apply: raw interleaved bytes in, wire bytes out, one kernel,
+    ``nc`` channels per grid step (static unrolled loop). Dequant/
+    de-interleave prologue; fractional-advance ramp with the per-channel
+    phase correction FOLDED INTO the ramp (a scalar multiply in frequency
+    domain is free); inverse four-step center rows; int8 wire requantization
+    + re-interleave epilogue (cpacketizer.cc:158-172 analog — the output
+    block is byte-identical to the wire frame payload)."""
     m = fre_ref.shape[0]
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     fre = fre_ref[:].astype(jnp.bfloat16)
@@ -353,49 +359,53 @@ def _apply_kernel_i8(
     tim = tim_ref[:]
     si = si_ref[:]
     sq = sq_ref[:]
-    at_re, at_im = _load_half_raw(dot, xt_ref[0, 0], si, sq)
-    ab_re, ab_im = _load_half_raw(dot, xb_ref[0, 0], si, sq)
-    dre, dim = _forward_fft_split(
-        dot, fre, fim, tre, tim, at_re, at_im, ab_re, ab_im
-    )
+    fire = fire_ref[:].astype(jnp.bfloat16)   # conj(F)/m
+    fiim = fiim_ref[:].astype(jnp.bfloat16)
+    fh_re = fire[m // 4: 3 * m // 4, :]
+    fh_im = fiim[m // 4: 3 * m // 4, :]
+    kg = kg_ref[:]
+    fg = fg_ref[:]
+    inv = 1.0 / IQ_SCALE
 
     i = pl.program_id(0)
     j = pl.program_id(1)
-    d = -adv_ref[i, j]
-    di = jnp.floor(d)
-    df = d - di
-    ph = _iramp_fraction(kg_ref[:], di.astype(jnp.int32), W) + fg_ref[:] * df
-    ph = ph * _TWO_PI
-    wr = jnp.cos(ph)
-    wi = -jnp.sin(ph)
-    # phase correction factor: ramp *= (p_re + i p_im)
-    p_re = pre_ref[i, j]
-    p_im = pim_ref[i, j]
-    wr, wi = wr * p_re - wi * p_im, wr * p_im + wi * p_re
-    gre, gim = _cmul(dre, dim, wr, wi)
+    for c in range(nc):
+        at_re, at_im = _load_half_raw(dot, xt_ref[0, c], si, sq)
+        ab_re, ab_im = _load_half_raw(dot, xb_ref[0, c], si, sq)
+        dre, dim = _forward_fft_split(
+            dot, fre, fim, tre, tim, at_re, at_im, ab_re, ab_im
+        )
 
-    fire = fire_ref[:].astype(jnp.bfloat16)   # conj(F)/m
-    fiim = fiim_ref[:].astype(jnp.bfloat16)
-    g16re = gre.astype(jnp.bfloat16)
-    g16im = gim.astype(jnp.bfloat16)
-    c2re = dot(g16re, fire) - dot(g16im, fiim)
-    c2im = dot(g16re, fiim) + dot(g16im, fire)
-    b2re, b2im = _cmul(c2re, c2im, tre, -tim)  # conj twiddle
-    fh_re = fire[m // 4: 3 * m // 4, :]
-    fh_im = fiim[m // 4: 3 * m // 4, :]
-    b16re = b2re.astype(jnp.bfloat16)
-    b16im = b2im.astype(jnp.bfloat16)
-    yre = dot(fh_re, b16re) - dot(fh_im, b16im)
-    yim = dot(fh_re, b16im) + dot(fh_im, b16re)
-    # int8 wire requantization (round-to-nearest, saturate — the exact
-    # c64_to_i8_iq semantics, ops/convert.py) BEFORE the interleave matmul:
-    # quantized integers <= 127 are exact in bf16, so the 0/1 selection
-    # matmuls re-interleave losslessly.
-    inv = 1.0 / IQ_SCALE
-    yq_re = jnp.clip(jnp.round(yre * inv), -128.0, 127.0).astype(jnp.bfloat16)
-    yq_im = jnp.clip(jnp.round(yim * inv), -128.0, 127.0).astype(jnp.bfloat16)
-    y_il = dot(yq_re, sit_ref[:]) + dot(yq_im, sqt_ref[:])   # [m/2, 2m]
-    y_ref[0, 0] = y_il.astype(jnp.int8)
+        d = -adv_ref[i, j * nc + c]
+        di = jnp.floor(d)
+        df = d - di
+        ph = _iramp_fraction(kg, di.astype(jnp.int32), W) + fg * df
+        ph = ph * _TWO_PI
+        wr = jnp.cos(ph)
+        wi = -jnp.sin(ph)
+        # phase correction factor: ramp *= (p_re + i p_im)
+        p_re = pre_ref[i, j * nc + c]
+        p_im = pim_ref[i, j * nc + c]
+        wr, wi = wr * p_re - wi * p_im, wr * p_im + wi * p_re
+        gre, gim = _cmul(dre, dim, wr, wi)
+
+        g16re = gre.astype(jnp.bfloat16)
+        g16im = gim.astype(jnp.bfloat16)
+        c2re = dot(g16re, fire) - dot(g16im, fiim)
+        c2im = dot(g16re, fiim) + dot(g16im, fire)
+        b2re, b2im = _cmul(c2re, c2im, tre, -tim)  # conj twiddle
+        b16re = b2re.astype(jnp.bfloat16)
+        b16im = b2im.astype(jnp.bfloat16)
+        yre = dot(fh_re, b16re) - dot(fh_im, b16im)
+        yim = dot(fh_re, b16im) + dot(fh_im, b16re)
+        # int8 wire requantization (round-to-nearest, saturate — the exact
+        # c64_to_i8_iq semantics, ops/convert.py) BEFORE the interleave
+        # matmul: quantized integers <= 127 are exact in bf16, so the 0/1
+        # selection matmuls re-interleave losslessly.
+        yq_re = jnp.clip(jnp.round(yre * inv), -128.0, 127.0).astype(jnp.bfloat16)
+        yq_im = jnp.clip(jnp.round(yim * inv), -128.0, 127.0).astype(jnp.bfloat16)
+        y_il = dot(yq_re, sit_ref[:]) + dot(yq_im, sqt_ref[:])   # [m/2, 2m]
+        y_ref[0, c] = y_il.astype(jnp.int8)
 
 
 class FusedPipelineKernels:
@@ -531,20 +541,30 @@ class FusedPipelineKernels:
     # live inside the kernels.
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _pick_nc(N: int) -> int:
+        """Channels per grid step: the largest divisor of N <= 8 (amortizes
+        the per-grid-step overhead; VMEM holds nc raw windows = nc*32 kB)."""
+        for c in (8, 7, 6, 5, 4, 3, 2, 1):
+            if N % c == 0:
+                return c
+        return 1
+
     def measure_i8(
         self, raw: jnp.ndarray, ref_raw: jnp.ndarray
     ) -> Tuple[jnp.ndarray, ...]:
         """raw ``[T, N, m/2, 2m]`` i8 blocks; ref_raw ``[T, m/2, 2m]`` i8
-        reference blocks (window FFT computed in-kernel). Returns
-        (lag, z_re, z_im, mag, papr) each ``[T-1, N]``."""
+        reference blocks (window FFT computed in-kernel, once per grid
+        step). Returns (lag, z_re, z_im, mag, papr) each ``[T-1, N]``."""
         T, N = raw.shape[:2]
         m = self.m
         t = self._t
+        nc = self._pick_nc(N)
         tab = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
                                      memory_space=pltpu.VMEM)
-        blk_t = pl.BlockSpec((1, 1, m // 2, 2 * m), lambda i, j: (i, j, 0, 0),
+        blk_t = pl.BlockSpec((1, nc, m // 2, 2 * m), lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM)
-        blk_b = pl.BlockSpec((1, 1, m // 2, 2 * m), lambda i, j: (i + 1, j, 0, 0),
+        blk_b = pl.BlockSpec((1, nc, m // 2, 2 * m), lambda i, j: (i + 1, j, 0, 0),
                              memory_space=pltpu.VMEM)
         ref_t = pl.BlockSpec((1, m // 2, 2 * m), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -552,8 +572,8 @@ class FusedPipelineKernels:
                              memory_space=pltpu.VMEM)
         s_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         return pl.pallas_call(
-            functools.partial(_measure_kernel_i8, W=self.fft_len),
-            grid=(T - 1, N),
+            functools.partial(_measure_kernel_i8, W=self.fft_len, nc=nc),
+            grid=(T - 1, N // nc),
             in_specs=[tab(t["fre"]), tab(t["fim"]), tab(t["tre"]), tab(t["tim"]),
                       tab(t["kg"]), tab(t["fg"]), tab(t["p"]), tab(t["q"]),
                       tab(t["si"]), tab(t["sq"]),
@@ -576,18 +596,19 @@ class FusedPipelineKernels:
         T, N = raw.shape[:2]
         m = self.m
         t = self._t
+        nc = self._pick_nc(N)
         tab = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
                                      memory_space=pltpu.VMEM)
-        blk_t = pl.BlockSpec((1, 1, m // 2, 2 * m), lambda i, j: (i, j, 0, 0),
+        blk_t = pl.BlockSpec((1, nc, m // 2, 2 * m), lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM)
-        blk_b = pl.BlockSpec((1, 1, m // 2, 2 * m), lambda i, j: (i + 1, j, 0, 0),
+        blk_b = pl.BlockSpec((1, nc, m // 2, 2 * m), lambda i, j: (i + 1, j, 0, 0),
                              memory_space=pltpu.VMEM)
         s_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-        y_spec = pl.BlockSpec((1, 1, m // 2, 2 * m), lambda i, j: (i, j, 0, 0),
+        y_spec = pl.BlockSpec((1, nc, m // 2, 2 * m), lambda i, j: (i, j, 0, 0),
                               memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            functools.partial(_apply_kernel_i8, W=self.fft_len),
-            grid=(T - 1, N),
+            functools.partial(_apply_kernel_i8, W=self.fft_len, nc=nc),
+            grid=(T - 1, N // nc),
             in_specs=[tab(t["fre"]), tab(t["fim"]), tab(t["tre"]), tab(t["tim"]),
                       tab(t["fire"]), tab(t["fiim"]), tab(t["kg"]), tab(t["fg"]),
                       tab(t["si"]), tab(t["sq"]), tab(t["sit"]), tab(t["sqt"]),
