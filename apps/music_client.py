@@ -6,9 +6,17 @@ accumulates snapshots, and computes a MUSIC (or Bartlett/MVDR) pseudospectrum
 heatmap over the (u, v) direction-cosine grid; saves .npy and prints an
 ASCII rendering.
 
+``--follow`` is the production continuous mode (heatmap2d2.cpp:156-346's
+recv-thread/plot-thread loop): it keeps re-collecting ``--frames`` frames and
+re-rendering the heatmap until killed. ``--mat FILE`` saves the last received
+snapshot matrix as a MATLAB file with heatmap2d2's matsave variable layout
+(heatmap2d2.cpp:229-252: ``x`` complex single + ``time`` string), plus the
+computed pseudospectrum ``P``.
+
 Usage:
   python apps/music_client.py -a tcp://127.0.0.1:5555 --rows 7 --cols 3 \
       --frames 16 --sources 1 -o heatmap.npy
+  python apps/music_client.py --follow --frames 8 --rows 7 --cols 3
 """
 
 import argparse
@@ -54,6 +62,16 @@ def main():
     )
     ap.add_argument("--grid", type=int, default=100)
     ap.add_argument("-o", "--out", default="heatmap.npy")
+    ap.add_argument(
+        "--follow", action="store_true",
+        help="continuous mode: keep collecting --frames frames and "
+             "re-rendering until killed (heatmap2d2.cpp recv/plot loop)",
+    )
+    ap.add_argument(
+        "--mat", default=None, metavar="FILE",
+        help="also save the snapshot matrix as MATLAB FILE "
+             "(variables x, time — heatmap2d2.cpp matsave layout — plus P)",
+    )
     ap.add_argument("--timeout-ms", type=int, default=600000)
     args = ap.parse_args()
 
@@ -82,24 +100,11 @@ def main():
     sub.setsockopt(zmq.RCVTIMEO, args.timeout_ms)
     sub.connect(args.address)
 
-    snaps = []
-    for i in range(args.frames):
-        frame = unpack_frame(sub.recv())
-        X = frame_to_matrix(frame)  # [N, L]; channel 0 = reference
-        snaps.append(X[1:])         # beamform the signal channels
-    X = np.concatenate(snaps, axis=-1)  # [N-1, frames*L]
-    n = X.shape[0]
-    if n != args.rows * args.cols:
-        print(f"warning: {n} channels != {args.rows}x{args.cols} array")
-
     uv, ax = uv_grid(args.grid)
-    R = sample_covariance(jnp.asarray(X))
+    gpos = None
     if args.coarray:
-        from coherent_rtlsdr_tpu.models import coarray_music_spectrum
-
         if not args.positions:
             ap.error("--coarray requires --positions")
-        bx, by = (int(v) for v in args.coarray.lower().split("x"))
         if args.positions.endswith(".npy"):
             gpos = np.load(args.positions).astype(np.int64)
         else:
@@ -107,27 +112,79 @@ def main():
                 [[int(c) for c in p.split(",")] for p in args.positions.split(";")],
                 np.int64,
             )
-        if len(gpos) != n:
-            print(f"warning: {n} channels != {len(gpos)} positions")
-        P = coarray_music_spectrum(
-            R, gpos[:n], (bx, by), uv, args.sources, spacing=args.spacing
-        )
-    else:
-        pos = ura_positions(args.rows, args.cols, args.spacing)[:n]
-        A = steering_vectors(pos, uv)
-        if args.method == "music":
-            P = music_spectrum(R, A, args.sources)
-        elif args.method == "bartlett":
-            P = bartlett_spectrum(R, A)
-        else:
-            P = mvdr_spectrum(R, A)
-    P = np.asarray(P).reshape(args.grid, args.grid)
 
-    np.save(args.out, P)
-    i = int(P.argmax())
-    u, v = float(np.asarray(ax)[i % args.grid]), float(np.asarray(ax)[i // args.grid])
-    print(ascii_heatmap(P))
-    print(f"peak at (u, v) = ({u:+.3f}, {v:+.3f}); saved {args.out}")
+    def collect():
+        """Accumulate --frames frames; returns ([N-1, frames*L] matrix)."""
+        snaps = []
+        for _ in range(args.frames):
+            frame = unpack_frame(sub.recv())
+            X = frame_to_matrix(frame)  # [N, L]; channel 0 = reference
+            snaps.append(X[1:])         # beamform the signal channels
+        return np.concatenate(snaps, axis=-1)
+
+    def spectrum(X):
+        n = X.shape[0]
+        R = sample_covariance(jnp.asarray(X))
+        if args.coarray:
+            from coherent_rtlsdr_tpu.models import coarray_music_spectrum
+
+            bx, by = (int(v) for v in args.coarray.lower().split("x"))
+            if len(gpos) != n:
+                print(f"warning: {n} channels != {len(gpos)} positions")
+            P = coarray_music_spectrum(
+                R, gpos[:n], (bx, by), uv, args.sources, spacing=args.spacing
+            )
+        else:
+            pos = ura_positions(args.rows, args.cols, args.spacing)[:n]
+            A = steering_vectors(pos, uv)
+            if args.method == "music":
+                P = music_spectrum(R, A, args.sources)
+            elif args.method == "bartlett":
+                P = bartlett_spectrum(R, A)
+            else:
+                P = mvdr_spectrum(R, A)
+        return np.asarray(P).reshape(args.grid, args.grid)
+
+    def render(P, it=None):
+        np.save(args.out, P)
+        i = int(P.argmax())
+        u = float(np.asarray(ax)[i % args.grid])
+        v = float(np.asarray(ax)[i // args.grid])
+        if args.follow:
+            sys.stdout.write("\x1b[2J\x1b[H")  # clear screen, home cursor
+        print(ascii_heatmap(P))
+        tag = f"[{it}] " if it is not None else ""
+        print(f"{tag}peak at (u, v) = ({u:+.3f}, {v:+.3f}); saved {args.out}",
+              flush=True)
+
+    def save_mat(X, P):
+        import time as _time
+
+        from scipy.io import savemat
+
+        savemat(args.mat, {"x": X.T.astype(np.complex64), "P": P,
+                           "time": _time.strftime("%c")})
+
+    X = collect()
+    n = X.shape[0]
+    if not args.coarray and n != args.rows * args.cols:
+        print(f"warning: {n} channels != {args.rows}x{args.cols} array")
+    P = spectrum(X)
+    render(P, it=0 if args.follow else None)
+    if args.mat:
+        save_mat(X, P)
+
+    it = 0
+    while args.follow:
+        it += 1
+        try:
+            X = collect()
+        except KeyboardInterrupt:
+            break
+        P = spectrum(X)
+        render(P, it=it)
+        if args.mat:
+            save_mat(X, P)
 
 
 if __name__ == "__main__":

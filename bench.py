@@ -150,6 +150,45 @@ def bench_streaming_single(n_iters=16, **cfg_kw):
 FUSED = dict(fft_impl="fused", lag_method="phase_zoom")
 
 
+def bench_quality(n_blocks=16):
+    """The OTHER half of BASELINE.json's north star: residual inter-channel
+    phase error (deg RMS) and residual lag RMS vs synthetic ground truth,
+    measured on-chip through the headline fused path (the reference's
+    empirical analog: phasecorrectionplot.m:12-51 30-min drift plots and
+    seqnum_and_correlation.m xcorr checks — here with actual ground truth).
+
+    Returns (phase_err_deg_rms, residual_lag_rms_samples)."""
+    from coherent_rtlsdr_tpu.pipeline import align_offline
+    from coherent_rtlsdr_tpu.signal.synth import make_truth, synth_capture
+
+    truth = make_truth(N_CH, seed=7, max_delay=40.0, snr_db=30.0)
+    cap = synth_capture(
+        jax.random.PRNGKey(7), truth, n_blocks=n_blocks, block_len=L
+    )
+    cfg = PipelineConfig(n_channels=N_CH, block_len=L, **FUSED)
+    sig = jnp.asarray(np.asarray(cap.sig_u8).reshape(n_blocks, N_CH, 2 * L))
+    ref = jnp.asarray(np.asarray(cap.ref_u8).reshape(n_blocks, 2 * L))
+
+    @jax.jit
+    def run(sig, ref):
+        res = align_offline(cfg, sig, ref, smoothing="global")
+        # Residual inter-channel phase: <aligned_ch, ref> per (block, ch).
+        # complex64 cannot cross the program boundary on this backend —
+        # return (re, im) planes.
+        z = jnp.sum(res.aligned * jnp.conj(res.ref)[:, None, :], axis=-1)
+        return jnp.real(z), jnp.imag(z), res.delay
+
+    zre, zim, delay = run(sig, ref)
+    zre, zim, delay = np.asarray(zre), np.asarray(zim), np.asarray(delay)
+    # Skip the first output blocks (quantizer/window transients), like the
+    # offline tests do.
+    errs_deg = np.degrees(np.arctan2(zim, zre))[2:]
+    phase_rms = float(np.sqrt(np.mean(errs_deg**2)))
+    lag_err = delay[2:] - truth.delays[None, :]
+    lag_rms = float(np.sqrt(np.mean(lag_err**2)))
+    return phase_rms, lag_rms
+
+
 def bench_server(n_blocks=160, warmup=40):
     """End-to-end SERVER throughput: native C++ file producer -> SPSC ring ->
     RingSource -> jitted fused scan step -> int8 fetch -> native ZMQ
@@ -201,6 +240,7 @@ def main():
     offline = bench_offline()
     scan = bench_streaming_scan()
     single = bench_streaming_single(**FUSED)
+    phase_rms, lag_rms = bench_quality()
     server_fps, server_sps = bench_server()
     best_off = max(offline, offline_fused)
     best_scan = max(scan, scan_fused)
@@ -221,6 +261,8 @@ def main():
                 "streaming_realtime_factor": round(
                     best_scan / BASELINE_SAMPLES_PER_S, 3
                 ),
+                "phase_err_deg_rms": round(phase_rms, 4),
+                "residual_lag_rms_samples": round(lag_rms, 5),
                 "server_frames_per_s": round(server_fps, 1),
                 "server_samples_per_s": round(server_sps, 1),
                 "server_realtime_factor": round(

@@ -118,15 +118,14 @@ def _forward_fft_split(dot, fre, fim, tre, tim, at_re, at_im, ab_re, ab_im):
     return dre, dim
 
 
-def _dq_u8(x):
-    """In-kernel dequant of one RAW u8 IQ block: (x - 128) * IQ_SCALE, bf16
-    (the reference's cdsp::convtosigned + convtofloat, src/cdsp.cc:21-44,
-    folded into the kernel prologue). Mosaic has no u8->f32 cast, but XOR
-    0x80 + bitcast to i8 IS the offset removal (two's complement), and
-    i8->f32 converts fine — so the kernels consume the capture bytes exactly
-    as the source produced them; NOTHING touches the samples eagerly."""
-    i8 = pltpu.bitcast(x ^ jnp.uint8(0x80), jnp.int8)
-    return (i8.astype(jnp.float32) * IQ_SCALE).astype(jnp.bfloat16)
+def _dq_i8(x):
+    """In-kernel dequant of one signed-i8 IQ block: x * IQ_SCALE, bf16
+    (the reference's cdsp::convtofloat, src/cdsp.cc:36-44, folded into the
+    kernel prologue). The u8 XOR-0x80 offset removal (cdsp::convtosigned,
+    cdsp.cc:21-34) stays with the CALLER as the one eager elementwise pass
+    over well-tiled flat bytes (~10 us/blk, docs/PERF.md): the kernels
+    consume signed int8."""
+    return (x.astype(jnp.float32) * IQ_SCALE).astype(jnp.bfloat16)
 
 
 def _phase_zoom_core(dot, gre, gim, kg, fg, p, q, W):
@@ -266,13 +265,13 @@ def _apply_kernel(
 
 
 def _load_half_raw(dot, raw, si, sq):
-    """Dequant + de-interleave one RAW u8 half-window block ``[m/2, 2m]``
-    (bytes I0 Q0 I1 Q1 ... exactly as captured) into (re, im) bf16
-    ``[m/2, m]`` planes. The de-interleave is a 0/1 selection matmul — a
-    strided byte gather is pathological on the VPU (measured ~400 us/block
-    eagerly at 21ch), but as an MXU matmul it is noise. Dequantized values
-    are exact in bf16."""
-    a = _dq_u8(raw)                       # [m/2, 2m] bf16
+    """Dequant + de-interleave one signed-i8 half-window block ``[m/2, 2m]``
+    (bytes I0 Q0 I1 Q1 ..., capture order, offset already removed) into
+    (re, im) bf16 ``[m/2, m]`` planes. The de-interleave is a 0/1 selection
+    matmul — a strided byte gather is pathological on the VPU (measured
+    ~400 us/block eagerly at 21ch), but as an MXU matmul it is noise.
+    Dequantized values are exact in bf16."""
+    a = _dq_i8(raw)                       # [m/2, 2m] bf16
     return (dot(a, si).astype(jnp.bfloat16),
             dot(a, sq).astype(jnp.bfloat16))
 
@@ -280,7 +279,7 @@ def _load_half_raw(dot, raw, si, sq):
 def _measure_kernel_i8(
     fre_ref, fim_ref, tre_ref, tim_ref, kg_ref, fg_ref, p_ref, q_ref,
     si_ref, sq_ref, xt_ref, xb_ref, rt_ref, rb_ref,
-    lag_ref, zre_ref, zim_ref, mag_ref, papr_ref, esig_ref,
+    lag_ref, zre_ref, zim_ref, mag_ref, papr_ref,
     *, W: int, nc: int,
 ):
     """i8-native measure: raw interleaved bytes in (dequant + de-interleave
@@ -334,7 +333,6 @@ def _measure_kernel_i8(
         zim_ref[i, j * nc + c] = z_im
         mag_ref[i, j * nc + c] = zabs / jnp.maximum(denom, 1e-30)
         papr_ref[i, j * nc + c] = zabs * zabs / jnp.maximum(eg, 1e-30)
-        esig_ref[i, j * nc + c] = esig
 
 
 def _apply_kernel_i8(
@@ -532,13 +530,13 @@ class FusedPipelineKernels:
         return yre.reshape(T - 1, N, W2), yim.reshape(T - 1, N, W2)
 
     # ------------------------------------------------------------------
-    # i8-native path: RAW interleaved capture bytes in, raw interleaved
+    # i8-native path: signed interleaved capture bytes in, raw interleaved
     # int8 wire bytes out. Block layout: ``[..., m/2, 2m]`` int8 — the
     # capture block [L, 2] reshaped (free, layout-identical): row r holds
-    # samples [r*m, (r+1)*m) as I0 Q0 I1 Q1 ... The u8 XOR 0x80 offset
-    # removal is the ONLY eager pass (elementwise, no relayout); dequant,
-    # de-interleave (selection matmul), requantize and re-interleave all
-    # live inside the kernels.
+    # samples [r*m, (r+1)*m) as I0 Q0 I1 Q1 ... The caller's u8 XOR 0x80
+    # offset removal is the ONLY eager pass (elementwise, no relayout);
+    # dequant, de-interleave (selection matmul), requantize and
+    # re-interleave all live inside the kernels.
     # ------------------------------------------------------------------
 
     @staticmethod

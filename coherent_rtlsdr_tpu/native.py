@@ -226,14 +226,20 @@ class NativeProducer:
 
     @property
     def pushed(self) -> int:
+        if self._ptr is None:  # after stop(): the C object is freed
+            return 0
         return self._lib.chost_producer_pushed(self._ptr)
 
     @property
     def running(self) -> bool:
+        if self._ptr is None:
+            return False
         return bool(self._lib.chost_producer_running(self._ptr))
 
     @property
     def error(self) -> bool:
+        if self._ptr is None:
+            return False
         return bool(self._lib.chost_producer_error(self._ptr))
 
     def stop(self):

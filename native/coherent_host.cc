@@ -340,6 +340,7 @@ void file_producer_main(Producer *p) {
     FILE *f = std::fopen(p->path.c_str(), "rb");
     if (!f) {
       p->error.store(1);
+      p->done.store(true);  // keep chost_producer_running truthful on error
       return;
     }
     while (!p->stop.load(std::memory_order_relaxed)) {

@@ -1,0 +1,156 @@
+"""End-to-end client app tests over a live ZMQ loopback: the recorder's
+MATLAB interchange (matsave.cc / measurement_script.m:48-52 analog) and the
+MUSIC client's continuous --follow mode (heatmap2d2.cpp:156-346 analog)."""
+
+import os
+import subprocess
+import sys
+import tempfile
+import threading
+import time
+
+import numpy as np
+import pytest
+
+zmq = pytest.importorskip("zmq")
+scipy_io = pytest.importorskip("scipy.io")
+
+from coherent_rtlsdr_tpu.io.zmq_edge import FramePublisher
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PORT = 18590
+
+
+class _Feeder:
+    """Publishes frames at an interval until stopped (the server stand-in)."""
+
+    def __init__(self, port, iq_frames, period_s=0.05):
+        self.pub = FramePublisher(
+            data_addr=f"tcp://127.0.0.1:{port}",
+            debug_addr=f"tcp://127.0.0.1:{port + 1}",
+        )
+        self.frames = iq_frames
+        self.period = period_s
+        self._stop = threading.Event()
+        self.th = threading.Thread(target=self._run, daemon=True)
+        self.th.start()
+
+    def _run(self):
+        k = 0
+        n = self.frames[0].shape[0]
+        while not self._stop.is_set():
+            seqs = np.full(n, k + 1, np.uint32)
+            self.pub.publish(self.frames[k % len(self.frames)], seqs)
+            k += 1
+            time.sleep(self.period)
+
+    def stop(self):
+        self._stop.set()
+        self.th.join(timeout=2)
+        self.pub.close()
+
+
+def _rand_frames(n_frames, n_ch, L, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        rng.integers(-128, 128, (n_ch, L, 2)).astype(np.int8)
+        for _ in range(n_frames)
+    ]
+
+
+class TestRecordMat:
+    def test_record_writes_matlab_layout(self, tmp_path):
+        port = PORT
+        L, n_ch, n_frames = 64, 4, 3
+        feeder = _Feeder(port, _rand_frames(4, n_ch, L))
+        out = str(tmp_path / "cap.mat")
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "apps", "record.py"),
+                 "-a", f"tcp://127.0.0.1:{port}",
+                 "--frames", str(n_frames), "-o", out,
+                 "--timeout-ms", "10000"],
+                capture_output=True, text=True, timeout=60, cwd=REPO,
+            )
+        finally:
+            feeder.stop()
+        assert r.returncode == 0, r.stderr
+        m = scipy_io.loadmat(out)
+        # measurement_script.m variables: X [Nframes*L, C], gseq, seq
+        assert m["X"].shape == (n_frames * L, n_ch)
+        assert m["X"].dtype == np.complex64
+        assert m["gseq"].size == n_frames
+        assert m["seq"].shape == (n_frames, n_ch)
+        # samples scaled 1/128 like zmqsdr.c:128-135 (int8 rails in [-1, ~1])
+        assert np.abs(m["X"]).max() <= np.sqrt(2.0) + 1e-6
+        assert "time" in m
+
+    def test_record_npz_still_works(self, tmp_path):
+        port = PORT + 4
+        feeder = _Feeder(port, _rand_frames(4, 3, 32, seed=1))
+        out = str(tmp_path / "cap.npz")
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "apps", "record.py"),
+                 "-a", f"tcp://127.0.0.1:{port}",
+                 "--frames", "2", "-o", out, "--timeout-ms", "10000"],
+                capture_output=True, text=True, timeout=60, cwd=REPO,
+            )
+        finally:
+            feeder.stop()
+        assert r.returncode == 0, r.stderr
+        with np.load(out) as z:
+            assert z["sig_u8"].shape == (2, 2, 32, 2)
+
+
+class TestMusicFollow:
+    def test_follow_rerenders_until_killed(self, tmp_path):
+        port = PORT + 8
+        n_ch = 7  # 6 signal channels = 3x2 array
+        feeder = _Feeder(port, _rand_frames(4, n_ch, 128, seed=2),
+                         period_s=0.02)
+        out = str(tmp_path / "hm.npy")
+        mat = str(tmp_path / "hm.mat")
+        # stderr must NOT be an unread pipe: XLA emits multi-KB warnings
+        # that fill it and deadlock the child against our stdout readline.
+        errf = open(str(tmp_path / "client.err"), "w+")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "apps", "music_client.py"),
+             "-a", f"tcp://127.0.0.1:{port}", "--follow",
+             "--frames", "2", "--rows", "3", "--cols", "2",
+             "--grid", "24", "-o", out, "--mat", mat,
+             "--timeout-ms", "10000"],
+            stdout=subprocess.PIPE, stderr=errf, text=True,
+            cwd=REPO,
+        )
+        try:
+            # Wait for at least two rendered iterations ([0] and [1]).
+            deadline = time.time() + 90
+            seen = ""
+            while time.time() < deadline:
+                if os.path.exists(out) and "[1]" in seen:
+                    break
+                line = proc.stdout.readline()
+                if not line:
+                    break
+                seen += line
+                if proc.poll() is not None:
+                    break
+            errf.seek(0)
+            err_tail = errf.read()[-2000:]
+            assert "[0] peak at" in seen, (seen, err_tail)
+            assert "[1] peak at" in seen, (seen, err_tail)
+            assert proc.poll() is None  # still following
+        finally:
+            proc.terminate()
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+            feeder.stop()
+            errf.close()
+        P = np.load(out)
+        assert P.shape == (24, 24)
+        m = scipy_io.loadmat(mat)
+        assert m["x"].dtype == np.complex64 and m["x"].shape[1] == n_ch - 1
+        assert m["P"].shape == (24, 24)
