@@ -33,7 +33,21 @@ def main():
     ap.add_argument("--debug-address", default="tcp://*:5557")
     ap.add_argument("-C", "--config", default=None)
     ap.add_argument("-R", "--raw", action="store_true")
-    ap.add_argument("--source", choices=["synth", "file", "ring"], default="synth")
+    ap.add_argument(
+        "--source", choices=["synth", "file", "ring", "rtlsdr"],
+        default="synth",
+    )
+    ap.add_argument(
+        "--serials", default=None,
+        help="rtlsdr source: comma-separated dongle serials, REFERENCE "
+             "FIRST (defaults to the -C config file's channel map, or USB "
+             "enumeration order when neither is given)",
+    )
+    ap.add_argument(
+        "--rtl-lib", default=None, metavar="PATH",
+        help="explicit librtlsdr .so to dlopen (default: "
+             "$COHERENT_LIBRTLSDR, then system librtlsdr)",
+    )
     ap.add_argument("--capture", default=None)
     ap.add_argument(
         "--ingest", default=None,
@@ -65,6 +79,11 @@ def main():
              "Pallas mega-kernels with in-kernel dequant/phase/requant",
     )
     ap.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="capture a JAX profiler trace of the hot loop into DIR "
+             "(viewable with TensorBoard / Perfetto; SURVEY.md §5 telemetry)",
+    )
+    ap.add_argument(
         "--max-channels", type=int, default=None,
         help="pad the channel axis to this width so console add/del reuse "
              "the compiled executable (no mid-stream recompile stall)",
@@ -93,7 +112,42 @@ def main():
     )
 
     producer = None
-    if args.source == "ring":
+    if args.source == "rtlsdr":
+        from coherent_rtlsdr_tpu import native
+        from coherent_rtlsdr_tpu.io.config import get_refname
+        from coherent_rtlsdr_tpu.signal.sources import RingSource
+
+        if args.rtl_lib or not native.rtlsdr_available():
+            if not native.rtlsdr_load(args.rtl_lib):
+                ap.error("librtlsdr not found (set --rtl-lib or "
+                         "$COHERENT_LIBRTLSDR)")
+        if args.serials:
+            serials = [s for s in args.serials.split(",") if s]
+        elif args.config:
+            defs = read_config(args.config)
+            serials = [get_refname(defs)] + [
+                d.serial for d in signal_channels(defs)
+            ]
+        else:
+            serials = native.rtlsdr_enumerate()
+            print(f"enumerated {len(serials)} dongles: {serials}")
+        if len(serials) < 2:
+            ap.error("rtlsdr source needs >= 2 dongles (ref + signal)")
+        if len(serials) - 1 != n:
+            n = len(serials) - 1
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, n_channels=n)
+        ring = native.NativeBlockRing(
+            args.ring_slots, (n + 1) * args.blocksize * 2
+        )
+        producer = native.NativeRtlCapture(
+            ring, serials, block_len=args.blocksize, fs=args.fs,
+            fcenter=args.fcenter, gain_db=args.gain,
+            ref_gain_db=args.refgain,
+        )
+        source = RingSource(ring, n_channels=n, block_len=args.blocksize)
+    elif args.source == "ring":
         from coherent_rtlsdr_tpu import native
         from coherent_rtlsdr_tpu.signal.sources import RingSource
 
@@ -148,7 +202,17 @@ def main():
     )
     if args.interactive:
         server.start_local_console()
-    published = server.run(max_blocks=args.blocks)
+    import contextlib
+
+    if args.trace:
+        import jax
+
+        trace_cm = jax.profiler.trace(args.trace)
+        print(f"profiler trace -> {args.trace}")
+    else:
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        published = server.run(max_blocks=args.blocks)
     if producer is not None:
         producer.stop()
     print(f"published {published} frames")

@@ -145,8 +145,19 @@ def main():
                 P = mvdr_spectrum(R, A)
         return np.asarray(P).reshape(args.grid, args.grid)
 
+    def _atomic(path, write_fn):
+        # Saves re-run every --follow iteration and the process may be
+        # SIGTERMed mid-write; a truncated .npy/.mat must never land.
+        tmp = path + ".tmp"
+        write_fn(tmp)
+        os.replace(tmp, path)
+
+    def _save_npy(path, P):
+        with open(path, "wb") as f:  # file object: np.save won't append .npy
+            np.save(f, P)
+
     def render(P, it=None):
-        np.save(args.out, P)
+        _atomic(args.out, lambda p: _save_npy(p, P))
         i = int(P.argmax())
         u = float(np.asarray(ax)[i % args.grid])
         v = float(np.asarray(ax)[i // args.grid])
@@ -162,8 +173,9 @@ def main():
 
         from scipy.io import savemat
 
-        savemat(args.mat, {"x": X.T.astype(np.complex64), "P": P,
-                           "time": _time.strftime("%c")})
+        _atomic(args.mat, lambda p: savemat(
+            p, {"x": X.T.astype(np.complex64), "P": P,
+                "time": _time.strftime("%c")}, appendmat=False))
 
     X = collect()
     n = X.shape[0]

@@ -150,6 +150,29 @@ def bench_streaming_single(n_iters=16, **cfg_kw):
 FUSED = dict(fft_impl="fused", lag_method="phase_zoom")
 
 
+def bench_sharded_1x1():
+    """make_sharded_align on a 1x1 (time, channel) mesh on the real chip:
+    measures shard_map/jit overhead of the multi-chip path directly (the
+    8-device dry-run validates correctness on virtual CPU devices but cannot
+    perf-test; this field protects the scaling claim). Should land within a
+    few % of the unsharded xla-offline number."""
+    from coherent_rtlsdr_tpu.parallel import make_mesh, make_sharded_align
+
+    cfg = PipelineConfig(n_channels=N_CH, block_len=L)
+    mesh = make_mesh(1, 1)
+    align = make_sharded_align(cfg, mesh)
+    sig, ref = _inputs(T_BLOCKS)
+
+    @jax.jit
+    def run(sig, ref):
+        aligned, ref_out, delay, mag = align(sig, ref)
+        # complex64 cannot cross the program boundary on this backend
+        return c64_to_i8_iq(aligned), delay, mag
+
+    dt = _best(lambda: run(sig, ref))
+    return T_BLOCKS * N_CH * L / dt
+
+
 def bench_quality(n_blocks=16):
     """The OTHER half of BASELINE.json's north star: residual inter-channel
     phase error (deg RMS) and residual lag RMS vs synthetic ground truth,
@@ -233,15 +256,25 @@ def bench_server(n_blocks=160, warmup=40):
 
 
 def main():
-    # fused (headline) paths first — claims are freshest right after acquire
-    offline_fused = bench_offline(**FUSED)
-    scan_fused = bench_streaming_scan(**FUSED)
-    scan8_fused = bench_streaming_scan(scan_k=8, **FUSED)
-    offline = bench_offline()
-    scan = bench_streaming_scan()
-    single = bench_streaming_single(**FUSED)
-    phase_rms, lag_rms = bench_quality()
-    server_fps, server_sps = bench_server()
+    import contextlib
+
+    trace_dir = None
+    if "--trace" in sys.argv:
+        trace_dir = sys.argv[sys.argv.index("--trace") + 1]
+    trace_cm = (
+        jax.profiler.trace(trace_dir) if trace_dir else contextlib.nullcontext()
+    )
+    with trace_cm:
+        # fused (headline) paths first — claims are freshest right after acquire
+        offline_fused = bench_offline(**FUSED)
+        scan_fused = bench_streaming_scan(**FUSED)
+        scan8_fused = bench_streaming_scan(scan_k=8, **FUSED)
+        offline = bench_offline()
+        scan = bench_streaming_scan()
+        single = bench_streaming_single(**FUSED)
+        sharded = bench_sharded_1x1()
+        phase_rms, lag_rms = bench_quality()
+        server_fps, server_sps = bench_server()
     best_off = max(offline, offline_fused)
     best_scan = max(scan, scan_fused)
     value = max(best_off, best_scan)
@@ -258,6 +291,7 @@ def main():
                 "streaming_scan32_fused_samples_per_s": round(scan_fused, 1),
                 "streaming_scan8_fused_samples_per_s": round(scan8_fused, 1),
                 "streaming_single_samples_per_s": round(single, 1),
+                "sharded_1x1_samples_per_s": round(sharded, 1),
                 "streaming_realtime_factor": round(
                     best_scan / BASELINE_SAMPLES_PER_S, 3
                 ),

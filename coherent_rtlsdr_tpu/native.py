@@ -75,6 +75,37 @@ def _load():
     lib.chost_producer_running.restype = ctypes.c_int
     lib.chost_producer_running.argtypes = [ctypes.c_void_p]
     lib.chost_producer_stop.argtypes = [ctypes.c_void_p]
+    lib.chost_rtlsdr_load.restype = ctypes.c_int
+    lib.chost_rtlsdr_load.argtypes = [ctypes.c_char_p]
+    lib.chost_rtlsdr_available.restype = ctypes.c_int
+    lib.chost_rtlsdr_device_count.restype = ctypes.c_int
+    lib.chost_rtlsdr_device_serial.restype = ctypes.c_int
+    lib.chost_rtlsdr_device_serial.argtypes = [
+        ctypes.c_uint32, ctypes.c_char_p, ctypes.c_int,
+    ]
+    lib.chost_rtlsdr_capture_start.restype = ctypes.c_void_p
+    lib.chost_rtlsdr_capture_start.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
+        ctypes.c_uint32,
+    ]
+    lib.chost_rtlsdr_capture_pushed.restype = ctypes.c_uint64
+    lib.chost_rtlsdr_capture_pushed.argtypes = [ctypes.c_void_p]
+    lib.chost_rtlsdr_capture_error.restype = ctypes.c_int
+    lib.chost_rtlsdr_capture_error.argtypes = [ctypes.c_void_p]
+    lib.chost_rtlsdr_capture_running.restype = ctypes.c_int
+    lib.chost_rtlsdr_capture_running.argtypes = [ctypes.c_void_p]
+    lib.chost_rtlsdr_capture_dropped.restype = ctypes.c_uint64
+    lib.chost_rtlsdr_capture_dropped.argtypes = [ctypes.c_void_p]
+    lib.chost_rtlsdr_capture_set_correction_f.restype = ctypes.c_int
+    lib.chost_rtlsdr_capture_set_correction_f.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_float,
+    ]
+    lib.chost_rtlsdr_capture_set_fcenter.restype = ctypes.c_int
+    lib.chost_rtlsdr_capture_set_fcenter.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32,
+    ]
+    lib.chost_rtlsdr_capture_stop.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -245,6 +276,103 @@ class NativeProducer:
     def stop(self):
         if getattr(self, "_ptr", None):
             self._lib.chost_producer_stop(self._ptr)
+            self._ptr = None
+
+    def __del__(self):
+        self.stop()
+
+
+def rtlsdr_load(path: Optional[str] = None) -> bool:
+    """(Re)load librtlsdr — pass an explicit .so path (tests inject a mock),
+    or None for the default search (env COHERENT_LIBRTLSDR, system names)."""
+    lib = _load()
+    return bool(lib.chost_rtlsdr_load(path.encode() if path else None))
+
+
+def rtlsdr_available() -> bool:
+    if not available():
+        return False
+    return bool(_load().chost_rtlsdr_available())
+
+
+def rtlsdr_enumerate() -> list:
+    """USB serial strings of all attached dongles (crtlsdr.cc:70-106)."""
+    lib = _load()
+    out = []
+    for i in range(lib.chost_rtlsdr_device_count()):
+        buf = ctypes.create_string_buffer(256)
+        if lib.chost_rtlsdr_device_serial(i, buf, 256) >= 0:
+            out.append(buf.value.decode())
+    return out
+
+
+class NativeRtlCapture:
+    """Multi-dongle coherent USB capture into a :class:`NativeBlockRing` —
+    the reference's thread-per-device librtlsdr path (src/crtlsdr.cc) as
+    native C++ threads behind one handle. ``serials[0]`` is the REFERENCE
+    channel (ring block layout: ref first, then signal channels — the
+    RingSource contract).
+
+    The open sequence per dongle follows the reference's order-sensitive
+    recipe exactly (samplerate -> dithering OFF -> fcenter -> AGC -> gain
+    mode/gain -> zero correction, src/crtlsdr.cc:112-135), and all dongles
+    are released from a start barrier together (main.cc:252-258)."""
+
+    def __init__(self, ring: "NativeBlockRing", serials, block_len: int,
+                 fs: float = 2.048e6, fcenter: float = 1024e6,
+                 gain_db: float = 50.0, ref_gain_db: float = 50.0,
+                 agc: bool = False, asyncbufn: int = 8):
+        lib = _load()
+        self._lib = lib
+        self._ring = ring
+        self.serials = list(serials)
+        ptr = lib.chost_rtlsdr_capture_start(
+            ring._ptr, ",".join(self.serials).encode(), int(block_len),
+            int(fs), int(fcenter), int(round(gain_db * 10)),
+            int(round(ref_gain_db * 10)), 1 if agc else 0, int(asyncbufn),
+        )
+        if not ptr:
+            raise RuntimeError(
+                "rtlsdr capture failed to start (librtlsdr missing, bad "
+                "serial list, or ring block_bytes != n_serials * 2 * L)"
+            )
+        self._ptr = ptr
+
+    @property
+    def pushed(self) -> int:
+        return self._lib.chost_rtlsdr_capture_pushed(self._ptr) if self._ptr else 0
+
+    @property
+    def running(self) -> bool:
+        return bool(self._lib.chost_rtlsdr_capture_running(self._ptr)) \
+            if self._ptr else False
+
+    @property
+    def error(self) -> int:
+        return self._lib.chost_rtlsdr_capture_error(self._ptr) if self._ptr else 0
+
+    @property
+    def dropped(self) -> int:
+        return self._lib.chost_rtlsdr_capture_dropped(self._ptr) if self._ptr else 0
+
+    def set_correction_f(self, ch: int, ppm: float) -> int:
+        """Skew one dongle's resampler (the reference control actuator,
+        ccontrol.cc:78-123; requires the tejeez fork extension)."""
+        if not self._ptr:
+            return -1
+        return self._lib.chost_rtlsdr_capture_set_correction_f(
+            self._ptr, ch, float(ppm)
+        )
+
+    def set_fcenter(self, hz: float) -> int:
+        """Retune all dongles (console `fcenter`, console.cc:176-201)."""
+        if not self._ptr:
+            return -1
+        return self._lib.chost_rtlsdr_capture_set_fcenter(self._ptr, int(hz))
+
+    def stop(self):
+        if getattr(self, "_ptr", None):
+            self._lib.chost_rtlsdr_capture_stop(self._ptr)
             self._ptr = None
 
     def __del__(self):

@@ -442,3 +442,409 @@ void chost_producer_stop(void *pv) {
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------------- librtlsdr --
+//
+// The hardware capture path: drive real RTL-SDR dongles through librtlsdr
+// (dlopen'd, same shim pattern as libzmq above — the tejeez fork's extra
+// symbols `rtlsdr_set_dithering` / `rtlsdr_set_sample_freq_correction_f`
+// are resolved when present, README.md:35-37). Behavioral contract taken
+// from the reference's crtlsdr:
+//
+//   * enumeration by USB serial string      (src/crtlsdr.cc:70-106)
+//   * order-sensitive open sequence: sample rate -> dithering OFF (MUST
+//     precede tuning, src/crtlsdr.cc:121) -> center freq -> AGC -> tuner
+//     gain mode/gain -> zero freq correction (src/crtlsdr.cc:112-135)
+//   * per-device async capture thread released by a shared start barrier
+//     so all dongles begin within one async window (src/crtlsdr.cc:44-59,
+//     common.h:151-168, main.cc:252-258)
+//   * retune re-disables dithering before set_center_freq
+//     (src/crtlsdr.cc:142-146)
+//
+// Topology differs from the reference by design: instead of pointer-
+// stealing rings + mutex choreography per device, each device's USB
+// callback appends into a bounded per-device byte FIFO and one assembler
+// thread builds combined [ref | ch1..chN] blocks (the RingSource layout)
+// into the owned-slot ring. Overflow drops whole channel-blocks, keeping
+// IQ framing; downstream seqnum-gap detection reports the loss.
+
+namespace rtldl {
+
+using get_count_t = uint32_t (*)();
+using usb_strings_t = int (*)(uint32_t, char *, char *, char *);
+using open_t = int (*)(void **, uint32_t);
+using close_t = int (*)(void *);
+using set_u32_t = int (*)(void *, uint32_t);
+using set_int_t = int (*)(void *, int);
+using set_f_t = int (*)(void *, float);
+using reset_t = int (*)(void *);
+using read_cb_t = void (*)(unsigned char *, uint32_t, void *);
+using read_async_t = int (*)(void *, read_cb_t, void *, uint32_t, uint32_t);
+using cancel_t = int (*)(void *);
+
+struct Api {
+  void *handle = nullptr;
+  get_count_t get_device_count = nullptr;
+  usb_strings_t get_device_usb_strings = nullptr;
+  open_t open = nullptr;
+  close_t close = nullptr;
+  set_u32_t set_sample_rate = nullptr;
+  set_u32_t set_center_freq = nullptr;
+  set_int_t set_agc_mode = nullptr;
+  set_int_t set_tuner_gain_mode = nullptr;
+  set_int_t set_tuner_gain = nullptr;
+  set_int_t set_freq_correction = nullptr;   // stock librtlsdr (ppm int)
+  reset_t reset_buffer = nullptr;
+  read_async_t read_async = nullptr;
+  cancel_t cancel_async = nullptr;
+  // tejeez coherent-rtlsdr fork extensions (optional symbols)
+  set_int_t set_dithering = nullptr;
+  set_f_t set_sample_freq_correction_f = nullptr;
+  bool ok = false;
+};
+
+static Api g_api;
+static std::mutex g_api_mtx;
+
+static bool load(const char *path) {
+  std::lock_guard<std::mutex> g(g_api_mtx);
+  Api a;
+  if (path && path[0]) {
+    a.handle = dlopen(path, RTLD_NOW | RTLD_LOCAL);
+  } else {
+    const char *env = std::getenv("COHERENT_LIBRTLSDR");
+    const char *names[] = {env, "librtlsdr.so.0", "librtlsdr.so"};
+    for (const char *n : names) {
+      if (!n || !n[0]) continue;
+      a.handle = dlopen(n, RTLD_NOW | RTLD_LOCAL);
+      if (a.handle) break;
+    }
+  }
+  if (!a.handle) return false;
+  auto sym = [&](const char *n) { return dlsym(a.handle, n); };
+  a.get_device_count =
+      reinterpret_cast<get_count_t>(sym("rtlsdr_get_device_count"));
+  a.get_device_usb_strings =
+      reinterpret_cast<usb_strings_t>(sym("rtlsdr_get_device_usb_strings"));
+  a.open = reinterpret_cast<open_t>(sym("rtlsdr_open"));
+  a.close = reinterpret_cast<close_t>(sym("rtlsdr_close"));
+  a.set_sample_rate = reinterpret_cast<set_u32_t>(sym("rtlsdr_set_sample_rate"));
+  a.set_center_freq = reinterpret_cast<set_u32_t>(sym("rtlsdr_set_center_freq"));
+  a.set_agc_mode = reinterpret_cast<set_int_t>(sym("rtlsdr_set_agc_mode"));
+  a.set_tuner_gain_mode =
+      reinterpret_cast<set_int_t>(sym("rtlsdr_set_tuner_gain_mode"));
+  a.set_tuner_gain = reinterpret_cast<set_int_t>(sym("rtlsdr_set_tuner_gain"));
+  a.set_freq_correction =
+      reinterpret_cast<set_int_t>(sym("rtlsdr_set_freq_correction"));
+  a.reset_buffer = reinterpret_cast<reset_t>(sym("rtlsdr_reset_buffer"));
+  a.read_async = reinterpret_cast<read_async_t>(sym("rtlsdr_read_async"));
+  a.cancel_async = reinterpret_cast<cancel_t>(sym("rtlsdr_cancel_async"));
+  a.set_dithering = reinterpret_cast<set_int_t>(sym("rtlsdr_set_dithering"));
+  a.set_sample_freq_correction_f =
+      reinterpret_cast<set_f_t>(sym("rtlsdr_set_sample_freq_correction_f"));
+  a.ok = a.get_device_count && a.get_device_usb_strings && a.open && a.close &&
+         a.set_sample_rate && a.set_center_freq && a.reset_buffer &&
+         a.read_async && a.cancel_async;
+  if (!a.ok) return false;
+  g_api = a;  // old handle (if any) is intentionally never dlclosed
+  return true;
+}
+
+static Api &api() {
+  static std::once_flag once;
+  std::call_once(once, [] { load(nullptr); });
+  return g_api;
+}
+
+}  // namespace rtldl
+
+namespace {
+
+struct RtlCapture;
+
+struct RtlDev {
+  RtlCapture *owner = nullptr;
+  void *dev = nullptr;
+  int index = -1;
+  std::string serial;
+  std::thread th;
+  // bounded byte FIFO: USB callback -> assembler
+  std::mutex mtx;
+  std::condition_variable cv;
+  std::vector<uint8_t> fifo;
+  size_t fifo_cap = 0;
+  std::atomic<uint64_t> dropped_blocks{0};
+};
+
+struct RtlCapture {
+  BlockRing *ring = nullptr;
+  std::vector<std::unique_ptr<RtlDev>> devs;  // [0] = reference channel
+  std::thread assembler;
+  std::atomic<bool> stop{false};
+  std::atomic<bool> done{false};
+  std::atomic<int> error{0};
+  std::atomic<uint64_t> pushed{0};
+  uint32_t chan_bytes = 0;  // 2 * block_len (one channel-block)
+  uint32_t asyncbufn = 8;
+  uint32_t fs = 0, fcenter = 0, gain = 0, ref_gain = 0;
+  int agc = 0;
+  // start barrier (common.h:151-168 analog): capture begins only once every
+  // device is opened+configured, so dongles start within one async window.
+  std::mutex bmtx;
+  std::condition_variable bcv;
+  uint32_t ready = 0;
+  bool aborted = false;
+};
+
+int rtl_find_index_by_serial(const std::string &serial) {
+  auto &r = rtldl::api();
+  if (!r.ok) return -1;
+  uint32_t n = r.get_device_count();
+  char manufact[256], product[256], ser[256];
+  for (uint32_t i = 0; i < n; ++i) {
+    if (r.get_device_usb_strings(i, manufact, product, ser) != 0) continue;
+    if (serial == ser) return static_cast<int>(i);
+  }
+  return -1;
+}
+
+// The reference's order-sensitive open sequence (src/crtlsdr.cc:112-135):
+// samplerate -> dithering OFF (before tuning!) -> fcenter -> AGC -> tuner
+// gain mode manual -> tuner gain -> zero the retained freq correction.
+int rtl_open_configure(RtlDev *d, uint32_t fs, uint32_t fcenter, uint32_t gain,
+                       int agc) {
+  auto &r = rtldl::api();
+  int idx = rtl_find_index_by_serial(d->serial);
+  if (idx < 0) return -1;
+  d->index = idx;
+  if (r.open(&d->dev, static_cast<uint32_t>(idx)) != 0) return -2;
+  if (r.set_sample_rate(d->dev, fs) != 0) return -3;
+  if (r.set_dithering && r.set_dithering(d->dev, 0) != 0) return -4;
+  if (r.set_center_freq(d->dev, fcenter) != 0) return -5;
+  if (r.set_agc_mode && r.set_agc_mode(d->dev, agc) != 0) return -6;
+  if (r.set_tuner_gain_mode && r.set_tuner_gain_mode(d->dev, 1) != 0) return -7;
+  if (r.set_tuner_gain && r.set_tuner_gain(d->dev, static_cast<int>(gain)) != 0)
+    return -8;
+  if (r.set_sample_freq_correction_f) {
+    if (r.set_sample_freq_correction_f(d->dev, 0.0f) != 0) return -9;
+  } else if (r.set_freq_correction) {
+    r.set_freq_correction(d->dev, 0);  // stock lib returns -2 for ppm=0: ignore
+  }
+  return 0;
+}
+
+void rtl_async_callback(unsigned char *buf, uint32_t len, void *ctx) {
+  auto *d = static_cast<RtlDev *>(ctx);
+  std::lock_guard<std::mutex> g(d->mtx);
+  if (d->fifo.size() + len > d->fifo_cap) {
+    // Drop OLDEST whole channel-blocks (keeps IQ framing; the time skew
+    // this introduces vs other channels is the reference's documented
+    // under-load stale-buffer failure, README.md:42 — visible downstream).
+    size_t need = d->fifo.size() + len - d->fifo_cap;
+    size_t chan = d->owner->chan_bytes;
+    size_t drop = ((need + chan - 1) / chan) * chan;
+    drop = std::min(drop, d->fifo.size());
+    d->fifo.erase(d->fifo.begin(), d->fifo.begin() + drop);
+    d->dropped_blocks.fetch_add(drop / chan, std::memory_order_relaxed);
+  }
+  d->fifo.insert(d->fifo.end(), buf, buf + len);
+  d->cv.notify_one();
+}
+
+void rtl_device_main(RtlDev *d) {
+  auto *c = d->owner;
+  auto &r = rtldl::api();
+  int rc = rtl_open_configure(d, c->fs, c->fcenter,
+                              d == c->devs[0].get() ? c->ref_gain : c->gain,
+                              c->agc);
+  {
+    std::unique_lock<std::mutex> lk(c->bmtx);
+    if (rc != 0) {
+      c->error.store(rc);
+      c->aborted = true;
+    }
+    c->ready++;
+    c->bcv.notify_all();
+    c->bcv.wait(lk, [&] { return c->ready == c->devs.size(); });
+    if (c->aborted) {
+      if (d->dev) r.close(d->dev);
+      d->dev = nullptr;
+      return;
+    }
+  }
+  // Barrier released: start streaming (src/crtlsdr.cc:44-59).
+  r.reset_buffer(d->dev);
+  r.read_async(d->dev, rtl_async_callback, d, c->asyncbufn, c->chan_bytes);
+  // read_async returns after rtlsdr_cancel_async (stop path).
+  r.close(d->dev);
+  d->dev = nullptr;
+}
+
+void rtl_assembler_main(RtlCapture *c) {
+  std::vector<uint8_t> block(c->ring->block_bytes);
+  uint64_t seq = 0;
+  const size_t chan = c->chan_bytes;
+  while (!c->stop.load(std::memory_order_relaxed)) {
+    bool got_all = true;
+    for (size_t i = 0; i < c->devs.size(); ++i) {
+      RtlDev *d = c->devs[i].get();
+      std::unique_lock<std::mutex> lk(d->mtx);
+      if (!d->cv.wait_for(lk, std::chrono::milliseconds(200), [&] {
+            return d->fifo.size() >= chan ||
+                   c->stop.load(std::memory_order_relaxed);
+          })) {
+        got_all = false;
+        break;
+      }
+      if (c->stop.load(std::memory_order_relaxed)) return;
+      std::memcpy(&block[i * chan], d->fifo.data(), chan);
+      d->fifo.erase(d->fifo.begin(), d->fifo.begin() + chan);
+    }
+    if (!got_all) continue;  // timeout tick; re-check stop
+    chost_ring_push(c->ring, block.data(), ++seq);
+    c->pushed.fetch_add(1, std::memory_order_relaxed);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Load librtlsdr from an explicit path (tests inject a mock here), or pass
+// NULL for the default search (env COHERENT_LIBRTLSDR, then system names).
+int chost_rtlsdr_load(const char *path) { return rtldl::load(path) ? 1 : 0; }
+
+int chost_rtlsdr_available(void) { return rtldl::api().ok ? 1 : 0; }
+
+int chost_rtlsdr_device_count(void) {
+  auto &r = rtldl::api();
+  return r.ok ? static_cast<int>(r.get_device_count()) : 0;
+}
+
+// USB serial string of device `idx` -> out (returns length, or -1).
+int chost_rtlsdr_device_serial(uint32_t idx, char *out, int cap) {
+  auto &r = rtldl::api();
+  if (!r.ok) return -1;
+  char manufact[256], product[256], ser[256];
+  if (r.get_device_usb_strings(idx, manufact, product, ser) != 0) return -1;
+  int n = static_cast<int>(std::strlen(ser));
+  if (n + 1 > cap) return -1;
+  std::memcpy(out, ser, n + 1);
+  return n;
+}
+
+// Start a multi-dongle coherent capture: `serials_csv` is a comma-separated
+// list, REFERENCE FIRST (the RingSource block layout), e.g.
+// "REF0001,SIG0001,SIG0002". block_len = complex samples per channel-block
+// (ring block_bytes must equal n_serials * 2 * block_len). Gains in tenths
+// of dB like the reference CLI (main.cc:133-136).
+void *chost_rtlsdr_capture_start(void *ring, const char *serials_csv,
+                                 uint32_t block_len, uint32_t fs,
+                                 uint32_t fcenter, uint32_t gain,
+                                 uint32_t ref_gain, int enable_agc,
+                                 uint32_t asyncbufn) {
+  auto &r = rtldl::api();
+  if (!r.ok || !ring || !serials_csv || block_len == 0) return nullptr;
+  auto *c = new RtlCapture();
+  c->ring = static_cast<BlockRing *>(ring);
+  c->chan_bytes = 2 * block_len;
+  c->asyncbufn = asyncbufn ? asyncbufn : 8;
+  c->fs = fs;
+  c->fcenter = fcenter;
+  c->gain = gain;
+  c->ref_gain = ref_gain;
+  c->agc = enable_agc;
+  std::string csv(serials_csv);
+  size_t pos = 0;
+  while (pos <= csv.size()) {
+    size_t comma = csv.find(',', pos);
+    if (comma == std::string::npos) comma = csv.size();
+    std::string s = csv.substr(pos, comma - pos);
+    if (!s.empty()) {
+      auto d = std::make_unique<RtlDev>();
+      d->owner = c;
+      d->serial = s;
+      d->fifo_cap = size_t(c->asyncbufn) * c->chan_bytes * 2;
+      c->devs.push_back(std::move(d));
+    }
+    pos = comma + 1;
+  }
+  if (c->devs.empty() ||
+      c->ring->block_bytes != c->devs.size() * c->chan_bytes) {
+    delete c;
+    return nullptr;
+  }
+  for (auto &d : c->devs) d->th = std::thread(rtl_device_main, d.get());
+  c->assembler = std::thread(rtl_assembler_main, c);
+  return c;
+}
+
+uint64_t chost_rtlsdr_capture_pushed(void *cv) {
+  return cv ? static_cast<RtlCapture *>(cv)->pushed.load() : 0;
+}
+
+// Negative open/config rc of the first failing device (0 = healthy).
+int chost_rtlsdr_capture_error(void *cv) {
+  return cv ? static_cast<RtlCapture *>(cv)->error.load() : 0;
+}
+
+int chost_rtlsdr_capture_running(void *cv) {
+  if (!cv) return 0;
+  auto *c = static_cast<RtlCapture *>(cv);
+  return (c->done.load() || c->aborted) ? 0 : 1;
+}
+
+uint64_t chost_rtlsdr_capture_dropped(void *cv) {
+  if (!cv) return 0;
+  auto *c = static_cast<RtlCapture *>(cv);
+  uint64_t n = 0;
+  for (auto &d : c->devs) n += d->dropped_blocks.load();
+  return n;
+}
+
+// Hardware resampler skew — the reference control loop's actuator
+// (ccontrol.cc:78-123 via rtlsdr_set_sample_freq_correction_f). ch 0 = the
+// reference dongle (never skewed by the reference; exposed anyway).
+// Returns -1 when the fork extension is absent or the device is down.
+int chost_rtlsdr_capture_set_correction_f(void *cv, uint32_t ch, float ppm) {
+  auto &r = rtldl::api();
+  auto *c = static_cast<RtlCapture *>(cv);
+  if (!c || ch >= c->devs.size()) return -1;
+  RtlDev *d = c->devs[ch].get();
+  if (!r.set_sample_freq_correction_f || !d->dev) return -1;
+  return r.set_sample_freq_correction_f(d->dev, ppm);
+}
+
+// Retune every dongle (console `fcenter` semantics, console.cc:176-201) —
+// dithering is re-disabled before each tune (src/crtlsdr.cc:142-146).
+int chost_rtlsdr_capture_set_fcenter(void *cv, uint32_t hz) {
+  auto &r = rtldl::api();
+  auto *c = static_cast<RtlCapture *>(cv);
+  if (!c) return -1;
+  int rc = 0;
+  for (auto &d : c->devs) {
+    if (!d->dev) return -1;
+    if (r.set_dithering) r.set_dithering(d->dev, 0);
+    if (r.set_center_freq(d->dev, hz) != 0) rc = -1;
+  }
+  if (rc == 0) c->fcenter = hz;
+  return rc;
+}
+
+void chost_rtlsdr_capture_stop(void *cv) {
+  auto *c = static_cast<RtlCapture *>(cv);
+  if (!c) return;
+  auto &r = rtldl::api();
+  c->stop.store(true);
+  for (auto &d : c->devs) {
+    if (d->dev && r.cancel_async) r.cancel_async(d->dev);
+    d->cv.notify_all();
+  }
+  for (auto &d : c->devs)
+    if (d->th.joinable()) d->th.join();
+  if (c->assembler.joinable()) c->assembler.join();
+  c->done.store(true);
+  delete c;
+}
+
+}  // extern "C"

@@ -1,0 +1,142 @@
+/* Hardware-free mock of the librtlsdr C ABI (tejeez coherent-rtlsdr fork
+ * surface: stock symbols + rtlsdr_set_dithering +
+ * rtlsdr_set_sample_freq_correction_f) used to verify the native capture
+ * runtime's behavior without dongles — above all the ORDER-SENSITIVE open
+ * sequence the real hardware demands (reference: src/crtlsdr.cc:112-135,
+ * "dithering off MUST PRECEDE THE TUNING FREQ CALL").
+ *
+ * Every call appends a "<devidx> <fn> <arg>" line to the file named by env
+ * MOCK_RTLSDR_LOG. rtlsdr_read_async() synthesizes a deterministic
+ * per-device byte pattern (byte j of the stream = idx*37 + (j & 0x7f)) so
+ * tests can verify channel->slot mapping in assembled ring blocks.
+ *
+ * Built at test time: gcc -shared -fPIC -O2 -o libmock_rtlsdr.so mock_librtlsdr.c
+ */
+
+#include <stdatomic.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <unistd.h>
+
+#define NDEV 4
+static const char *SERIALS[NDEV] = {"MOCKREF0", "MOCK0001", "MOCK0002",
+                                    "MOCK0003"};
+
+typedef struct {
+  uint32_t idx;
+  atomic_int cancel;
+} mockdev;
+
+static void lg(int idx, const char *fn, long arg) {
+  const char *path = getenv("MOCK_RTLSDR_LOG");
+  if (!path) return;
+  FILE *f = fopen(path, "a");
+  if (!f) return;
+  fprintf(f, "%d %s %ld\n", idx, fn, arg);
+  fclose(f);
+}
+
+uint32_t rtlsdr_get_device_count(void) { return NDEV; }
+
+int rtlsdr_get_device_usb_strings(uint32_t idx, char *manufact, char *product,
+                                  char *serial) {
+  if (idx >= NDEV) return -1;
+  if (manufact) strcpy(manufact, "MockMfg");
+  if (product) strcpy(product, "MockSDR");
+  if (serial) strcpy(serial, SERIALS[idx]);
+  return 0;
+}
+
+int rtlsdr_open(void **dev, uint32_t idx) {
+  if (idx >= NDEV) return -1;
+  mockdev *d = (mockdev *)calloc(1, sizeof(mockdev));
+  d->idx = idx;
+  *dev = d;
+  lg((int)idx, "open", 0);
+  return 0;
+}
+
+int rtlsdr_close(void *dev) {
+  mockdev *d = (mockdev *)dev;
+  lg((int)d->idx, "close", 0);
+  free(d);
+  return 0;
+}
+
+int rtlsdr_set_sample_rate(void *dev, uint32_t fs) {
+  lg((int)((mockdev *)dev)->idx, "set_sample_rate", (long)fs);
+  return 0;
+}
+
+int rtlsdr_set_center_freq(void *dev, uint32_t f) {
+  lg((int)((mockdev *)dev)->idx, "set_center_freq", (long)f);
+  return 0;
+}
+
+int rtlsdr_set_agc_mode(void *dev, int on) {
+  lg((int)((mockdev *)dev)->idx, "set_agc_mode", on);
+  return 0;
+}
+
+int rtlsdr_set_tuner_gain_mode(void *dev, int manual) {
+  lg((int)((mockdev *)dev)->idx, "set_tuner_gain_mode", manual);
+  return 0;
+}
+
+int rtlsdr_set_tuner_gain(void *dev, int gain) {
+  lg((int)((mockdev *)dev)->idx, "set_tuner_gain", gain);
+  return 0;
+}
+
+int rtlsdr_set_freq_correction(void *dev, int ppm) {
+  lg((int)((mockdev *)dev)->idx, "set_freq_correction", ppm);
+  return ppm == 0 ? -2 /* stock librtlsdr quirk: 0 -> "already 0" */ : 0;
+}
+
+/* tejeez fork extensions */
+int rtlsdr_set_dithering(void *dev, int dither) {
+  lg((int)((mockdev *)dev)->idx, "set_dithering", dither);
+  return 0;
+}
+
+int rtlsdr_set_sample_freq_correction_f(void *dev, float ppm) {
+  lg((int)((mockdev *)dev)->idx, "set_sample_freq_correction_f",
+     (long)(ppm * 1000.0f));
+  return 0;
+}
+
+int rtlsdr_reset_buffer(void *dev) {
+  lg((int)((mockdev *)dev)->idx, "reset_buffer", 0);
+  return 0;
+}
+
+typedef void (*rtlsdr_read_async_cb_t)(unsigned char *buf, uint32_t len,
+                                       void *ctx);
+
+int rtlsdr_read_async(void *dev, rtlsdr_read_async_cb_t cb, void *ctx,
+                      uint32_t buf_num, uint32_t buf_len) {
+  mockdev *d = (mockdev *)dev;
+  (void)buf_num;
+  lg((int)d->idx, "read_async", (long)buf_len);
+  unsigned char *buf = (unsigned char *)malloc(buf_len);
+  uint64_t k = 0;
+  while (!atomic_load(&d->cancel)) {
+    for (uint32_t i = 0; i < buf_len; ++i)
+      buf[i] = (unsigned char)(d->idx * 37 + ((k + i) & 0x7f));
+    cb(buf, buf_len, ctx);
+    k += buf_len;
+    usleep(2000);
+  }
+  free(buf);
+  lg((int)d->idx, "read_async_exit", 0);
+  return 0;
+}
+
+int rtlsdr_cancel_async(void *dev) {
+  mockdev *d = (mockdev *)dev;
+  atomic_store(&d->cancel, 1);
+  lg((int)d->idx, "cancel_async", 0);
+  return 0;
+}

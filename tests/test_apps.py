@@ -103,6 +103,26 @@ class TestRecordMat:
             assert z["sig_u8"].shape == (2, 2, 32, 2)
 
 
+class TestServerTrace:
+    def test_trace_flag_writes_profile(self, tmp_path):
+        """--trace DIR captures a JAX profiler trace of the hot loop
+        (SURVEY.md §5: profiler traces as first-class output)."""
+        tdir = str(tmp_path / "trace")
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "apps", "coherent_server.py"),
+             "--cpu", "-n", "2", "--blocks", "8",
+             "-A", f"tcp://127.0.0.1:{PORT + 12}",
+             "--ctrl-address", f"tcp://127.0.0.1:{PORT + 13}",
+             "--debug-address", f"tcp://127.0.0.1:{PORT + 14}",
+             "--trace", tdir],
+            capture_output=True, text=True, timeout=300, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        pbs = [p for p, _, fs in os.walk(tdir) for f in fs
+               if f.endswith(".xplane.pb")]
+        assert pbs, f"no xplane.pb under {tdir}"
+
+
 class TestMusicFollow:
     def test_follow_rerenders_until_killed(self, tmp_path):
         port = PORT + 8

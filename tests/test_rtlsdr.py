@@ -1,0 +1,297 @@
+"""Hardware-free tests of the native librtlsdr capture path.
+
+A mock librtlsdr (tests/data/mock_librtlsdr.c) is compiled at test time and
+dlopen'd by the native runtime; it logs every ABI call so these tests can
+assert the reference's ORDER-SENSITIVE open sequence — sample rate ->
+dithering OFF (must precede tuning, src/crtlsdr.cc:121) -> center freq ->
+AGC -> tuner gain mode/gain -> zero freq correction (src/crtlsdr.cc:112-135)
+— plus enumeration by serial (crtlsdr.cc:70-106), the barrier-released
+multi-dongle capture into assembled ring blocks, retune semantics
+(crtlsdr.cc:142-146), and the resampler-skew actuator (ccontrol.cc:78-123).
+"""
+
+import os
+import subprocess
+import time
+
+import numpy as np
+import pytest
+
+from coherent_rtlsdr_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built (make -C native)"
+)
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+MOCK_SRC = os.path.join(HERE, "data", "mock_librtlsdr.c")
+
+L = 64  # complex samples per channel-block
+CHAN_BYTES = 2 * L
+
+
+@pytest.fixture(scope="module")
+def mock_lib(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mockrtl")
+    so = str(d / "libmock_rtlsdr.so")
+    subprocess.run(
+        ["gcc", "-shared", "-fPIC", "-O2", "-o", so, MOCK_SRC], check=True
+    )
+    assert native.rtlsdr_load(so), "mock librtlsdr failed to load"
+    return so
+
+
+@pytest.fixture()
+def call_log(tmp_path, mock_lib):
+    log = str(tmp_path / "calls.log")
+    os.environ["MOCK_RTLSDR_LOG"] = log
+    yield log
+    os.environ.pop("MOCK_RTLSDR_LOG", None)
+
+
+def _parse(log):
+    """-> list of (devidx, fn, arg) in call order."""
+    out = []
+    if not os.path.exists(log):
+        return out
+    with open(log) as f:
+        for ln in f:
+            idx, fn, arg = ln.split()
+            out.append((int(idx), fn, int(arg)))
+    return out
+
+
+def _calls_for(entries, idx):
+    return [(fn, arg) for i, fn, arg in entries if i == idx]
+
+
+def _pattern(idx, offset, n):
+    j = np.arange(offset, offset + n, dtype=np.uint64)
+    return ((idx * 37 + (j & 0x7F)) & 0xFF).astype(np.uint8)
+
+
+def _start(ring, serials, **kw):
+    kw.setdefault("block_len", L)
+    kw.setdefault("fs", 2.048e6)
+    kw.setdefault("fcenter", 1024e6)
+    return native.NativeRtlCapture(ring, serials, **kw)
+
+
+class TestEnumeration:
+    def test_available_and_serials(self, mock_lib):
+        assert native.rtlsdr_available()
+        serials = native.rtlsdr_enumerate()
+        assert serials == ["MOCKREF0", "MOCK0001", "MOCK0002", "MOCK0003"]
+
+
+class TestOpenSequence:
+    def test_reference_open_order_per_device(self, call_log):
+        ring = native.NativeBlockRing(64, 3 * CHAN_BYTES)
+        cap = _start(ring, ["MOCKREF0", "MOCK0001", "MOCK0002"],
+                     gain_db=49.6, ref_gain_db=32.8)
+        try:
+            deadline = time.time() + 10
+            while cap.pushed < 2 and time.time() < deadline:
+                time.sleep(0.01)
+            assert cap.pushed >= 2, "no blocks assembled"
+            assert cap.error == 0
+        finally:
+            cap.stop()
+        entries = _parse(call_log)
+        for idx in (0, 1, 2):
+            calls = _calls_for(entries, idx)
+            fns = [fn for fn, _ in calls]
+            # The reference's exact order, src/crtlsdr.cc:112-135 + 44-59.
+            expect = ["open", "set_sample_rate", "set_dithering",
+                      "set_center_freq", "set_agc_mode",
+                      "set_tuner_gain_mode", "set_tuner_gain",
+                      "set_sample_freq_correction_f", "reset_buffer",
+                      "read_async"]
+            got = [f for f in fns if f in set(expect)]
+            assert got[: len(expect)] == expect, (idx, fns)
+            # The hardware-critical constraint, spelled out:
+            assert fns.index("set_dithering") < fns.index("set_center_freq")
+            # Configured values land on the right device.
+            args = dict(calls)
+            assert args["set_sample_rate"] == 2048000
+            assert args["set_center_freq"] == 1024000000
+            assert args["set_tuner_gain_mode"] == 1
+            assert args["set_tuner_gain"] == (328 if idx == 0 else 496)
+            assert args["set_sample_freq_correction_f"] == 0
+
+    def test_capture_stop_cancels_and_closes(self, call_log):
+        ring = native.NativeBlockRing(64, 2 * CHAN_BYTES)
+        cap = _start(ring, ["MOCKREF0", "MOCK0003"])
+        deadline = time.time() + 10
+        while cap.pushed < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        cap.stop()
+        assert not cap.running
+        entries = _parse(call_log)
+        for idx in (0, 3):
+            fns = [fn for fn, _ in _calls_for(entries, idx)]
+            assert "cancel_async" in fns
+            assert "close" in fns
+            assert fns.index("cancel_async") < fns.index("close")
+
+
+class TestAssembledBlocks:
+    def test_ring_block_layout_ref_first(self, call_log):
+        serials = ["MOCKREF0", "MOCK0002", "MOCK0001"]  # deliberate disorder
+        ring = native.NativeBlockRing(64, 3 * CHAN_BYTES)
+        cap = _start(ring, serials)
+        try:
+            out = ring.pop(timeout_ms=10000)
+            assert out is not None
+            buf, seq, ts = out
+            assert seq == 1 and cap.dropped == 0
+            frame = buf.reshape(3, CHAN_BYTES)
+            # channel order follows the serial list (ref first), each
+            # channel carrying its own device's deterministic pattern
+            for slot, serial in enumerate(serials):
+                idx = int(serial[-1]) if serial[-1].isdigit() else 0
+                np.testing.assert_array_equal(
+                    frame[slot], _pattern(idx, 0, CHAN_BYTES), err_msg=serial
+                )
+            # seqnums advance with later blocks
+            out2 = ring.pop(timeout_ms=10000)
+            assert out2 is not None and out2[1] == 2
+        finally:
+            cap.stop()
+
+    def test_ring_source_consumes_capture(self, call_log):
+        from coherent_rtlsdr_tpu.signal.sources import RingSource
+
+        n_sig = 2
+        ring = native.NativeBlockRing(64, (n_sig + 1) * CHAN_BYTES)
+        cap = _start(ring, ["MOCKREF0", "MOCK0001", "MOCK0002"])
+        try:
+            src = RingSource(ring, n_channels=n_sig, block_len=L,
+                             timeout_ms=10000)
+            blk = src.next_block()
+            assert blk is not None
+            sig, ref, seqs = blk
+            assert sig.shape == (n_sig, L, 2) and ref.shape == (L, 2)
+            assert sig.dtype == np.uint8
+            assert (seqs > 0).all()
+        finally:
+            cap.stop()
+
+
+class TestRuntimeControl:
+    def test_retune_disables_dithering_first(self, call_log):
+        ring = native.NativeBlockRing(64, 2 * CHAN_BYTES)
+        cap = _start(ring, ["MOCKREF0", "MOCK0001"])
+        try:
+            deadline = time.time() + 10
+            while cap.pushed < 1 and time.time() < deadline:
+                time.sleep(0.01)
+            mark = len(_parse(call_log))
+            assert cap.set_fcenter(868e6) == 0
+            entries = _parse(call_log)[mark:]
+            for idx in (0, 1):
+                fns = [fn for fn, _ in _calls_for(entries, idx)]
+                assert fns.index("set_dithering") < fns.index("set_center_freq")
+                args = dict(_calls_for(entries, idx))
+                assert args["set_center_freq"] == 868000000
+        finally:
+            cap.stop()
+
+    def test_set_correction_targets_one_device(self, call_log):
+        ring = native.NativeBlockRing(64, 3 * CHAN_BYTES)
+        cap = _start(ring, ["MOCKREF0", "MOCK0001", "MOCK0002"])
+        try:
+            deadline = time.time() + 10
+            while cap.pushed < 1 and time.time() < deadline:
+                time.sleep(0.01)
+            mark = len(_parse(call_log))
+            assert cap.set_correction_f(2, 3.5) == 0  # -> MOCK0002
+            entries = _parse(call_log)[mark:]
+            hits = [(i, a) for i, fn, a in entries
+                    if fn == "set_sample_freq_correction_f"]
+            assert hits == [(2, 3500)]
+        finally:
+            cap.stop()
+
+
+class TestServerIntegration:
+    def test_server_source_rtlsdr_publishes_frames(self, mock_lib, tmp_path):
+        """--source rtlsdr end-to-end: mock dongles -> native capture ->
+        ring -> jitted pipeline -> wire frames a stock client can parse."""
+        import subprocess
+        import sys
+
+        zmq = pytest.importorskip("zmq")
+        from coherent_rtlsdr_tpu.io.wire import unpack_frame
+
+        repo = os.path.dirname(HERE)
+        port = 18660
+        env = dict(os.environ, COHERENT_LIBRTLSDR=mock_lib)
+        env.pop("MOCK_RTLSDR_LOG", None)
+        # stderr must go to a FILE, not an unread pipe: XLA's multi-KB
+        # warnings fill the pipe and block the server before it publishes.
+        errf = open(str(tmp_path / "server.err"), "w+")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(repo, "apps", "coherent_server.py"),
+             "--cpu", "--source", "rtlsdr", "--rtl-lib", mock_lib,
+             "--serials", "MOCKREF0,MOCK0001,MOCK0002",
+             "-n", "2", "-b", "256", "--blocks", "1000",
+             "-A", f"tcp://127.0.0.1:{port}",
+             "--ctrl-address", f"tcp://127.0.0.1:{port + 1}",
+             "--debug-address", f"tcp://127.0.0.1:{port + 2}"],
+            stdout=subprocess.PIPE, stderr=errf, text=True,
+            cwd=repo, env=env,
+        )
+        got = None
+        try:
+            ctx = zmq.Context()
+            sub = ctx.socket(zmq.SUB)
+            sub.setsockopt(zmq.SUBSCRIBE, b"")
+            sub.setsockopt(zmq.RCVTIMEO, 1000)
+            sub.connect(f"tcp://127.0.0.1:{port}")
+            deadline = time.time() + 120
+            while got is None and time.time() < deadline:
+                if proc.poll() is not None:
+                    break
+                try:
+                    got = sub.recv()
+                except zmq.Again:
+                    continue
+            sub.close(0)
+            ctx.term()
+        finally:
+            proc.terminate()
+            out = ""
+            try:
+                out = proc.communicate(timeout=120)[0]
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                out = proc.communicate()[0]
+            errf.seek(0)
+            err = errf.read()
+            errf.close()
+        assert got is not None, (out[-1500:], err[-1500:])
+        frame = unpack_frame(got)
+        # ref is wire channel 0 like the reference (ccoherent.cc:253)
+        assert frame.iq.shape == (3, 256, 2)
+        assert frame.seqnums.shape == (3,)
+
+
+class TestFailurePaths:
+    def test_unknown_serial_aborts_with_error(self, call_log):
+        ring = native.NativeBlockRing(64, 2 * CHAN_BYTES)
+        cap = _start(ring, ["MOCKREF0", "NO_SUCH_SERIAL"])
+        try:
+            deadline = time.time() + 10
+            while cap.running and time.time() < deadline:
+                time.sleep(0.01)
+            assert not cap.running
+            assert cap.error != 0
+            assert cap.pushed == 0
+        finally:
+            cap.stop()
+
+    def test_bad_ring_geometry_rejected(self, call_log):
+        ring = native.NativeBlockRing(64, 5 * CHAN_BYTES)  # 5 != 2 serials
+        with pytest.raises(RuntimeError):
+            _start(ring, ["MOCKREF0", "MOCK0001"])
