@@ -5,12 +5,14 @@ binary (src/main.cc:88-160), backed by the synthetic or file source.
 Reference flags kept (same letters, main.cc:109-160):
   -f <hz>     center frequency        -b <n>   block size (complex samples)
   -s <hz>     sample rate             -n <n>   number of channels
-  -g <gain>   tuner gain (recorded)   -r <g>   reference gain (recorded)
+  -g <gain>   tuner gain              -r <g>   reference gain
   -A <addr>   data bind address       -C <fn>  channel config file
-  -R          raw mode (no header)
+  -R          raw mode (no header)    -I <ser> reference dongle serial
+  -q          stderr -> console `log` drain
 New:
-  --source synth|file  --capture <npz>  --blocks <n>  --state <npz>
-  --drop-rate <p>      --seed <n>
+  --source synth|file|ring|rtlsdr  --capture <npz>  --blocks <n>
+  --state <npz>  --drop-rate <p>  --seed <n>  --serials  --rtl-lib
+  --trace DIR  --scan-depth  --max-channels  --interactive  --cpu
 """
 
 import argparse
@@ -34,6 +36,16 @@ def main():
     ap.add_argument("-C", "--config", default=None)
     ap.add_argument("-R", "--raw", action="store_true")
     ap.add_argument(
+        "-I", "--refserial", default=None,
+        help="reference dongle serial (reference CLI -I, main.cc:139-141); "
+             "rtlsdr source puts this serial first in the channel order",
+    )
+    ap.add_argument(
+        "-q", "--quiet", action="store_true",
+        help="redirect stderr (incl. native librtlsdr writes) into the "
+             "console `log` drain (reference -q, main.cc:63-70)",
+    )
+    ap.add_argument(
         "--source", choices=["synth", "file", "ring", "rtlsdr"],
         default="synth",
     )
@@ -47,6 +59,18 @@ def main():
         "--rtl-lib", default=None, metavar="PATH",
         help="explicit librtlsdr .so to dlopen (default: "
              "$COHERENT_LIBRTLSDR, then system librtlsdr)",
+    )
+    ap.add_argument(
+        "--agc", action="store_true",
+        help="enable tuner AGC on all dongles (reference -A, main.cc:146; "
+             "-A is the data address here, so the long flag)",
+    )
+    ap.add_argument(
+        "--hw-drift-relief", type=float, default=None, metavar="SAMPLES",
+        help="rtlsdr source: when a channel's applied numerical delay "
+             "exceeds this many samples, pulse that dongle's hardware "
+             "resampler with the reference's tanh law to swallow the drift "
+             "(ccontrol.cc:78-123; needs the tejeez librtlsdr fork)",
     )
     ap.add_argument("--capture", default=None)
     ap.add_argument(
@@ -131,6 +155,11 @@ def main():
         else:
             serials = native.rtlsdr_enumerate()
             print(f"enumerated {len(serials)} dongles: {serials}")
+        if args.refserial:
+            if args.refserial not in serials:
+                ap.error(f"-I serial '{args.refserial}' not in {serials}")
+            serials.remove(args.refserial)
+            serials.insert(0, args.refserial)
         if len(serials) < 2:
             ap.error("rtlsdr source needs >= 2 dongles (ref + signal)")
         if len(serials) - 1 != n:
@@ -144,7 +173,7 @@ def main():
         producer = native.NativeRtlCapture(
             ring, serials, block_len=args.blocksize, fs=args.fs,
             fcenter=args.fcenter, gain_db=args.gain,
-            ref_gain_db=args.refgain,
+            ref_gain_db=args.refgain, agc=args.agc,
         )
         source = RingSource(ring, n_channels=n, block_len=args.blocksize)
     elif args.source == "ring":
@@ -200,6 +229,16 @@ def main():
         f"coherent_rtlsdr_tpu server: {n} ch x {args.blocksize} @ {args.fs:.0f} "
         f"sps, data {args.address}, ctrl {args.ctrl_address}"
     )
+    if args.hw_drift_relief is not None:
+        if args.source != "rtlsdr":
+            ap.error("--hw-drift-relief requires --source rtlsdr")
+        from coherent_rtlsdr_tpu.io.hwcontrol import HwDriftRelief
+
+        server.hw_relief = HwDriftRelief(
+            producer, fs=args.fs, threshold=args.hw_drift_relief
+        )
+    if args.quiet:
+        server.capture_stderr()
     if args.interactive:
         server.start_local_console()
     import contextlib

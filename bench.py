@@ -39,14 +39,17 @@ from coherent_rtlsdr_tpu.pipeline import PipelineConfig, align_offline, init_sta
 
 N_CH = 21
 L = 8192
-T_BLOCKS = 128  # blocks per offline slab (1 dispatch/slab amortizes the RTT)
+T_BLOCKS = 256  # blocks per offline slab (1 dispatch/slab amortizes the RTT)
 SCAN_K = 32    # streaming micro-batch depth (throughput mode; 128 ms latency)
+SCAN_K_DEEP = 128  # deep micro-batch (512 ms latency; amortizes the floor)
 BASELINE_SAMPLES_PER_S = 21 * 2.048e6  # reference real-time operating point
 
 # Environment note: each jit dispatch through the axon relay costs a FLAT
-# 0.5-3 ms (claim-dependent, measured across sessions) and calls do not
-# pipeline — so throughput paths batch many blocks per dispatch and all
-# timings below take the MIN over batches (robust to relay jitter).
+# per-call overhead measured between 0.5 ms and ~13 ms DEPENDING ON THE
+# CLAIM (round-3 probe: an empty lax.scan costs the same ~13 ms at K=8 and
+# K=128 — pure dispatch), and calls do not pipeline — so throughput paths
+# batch many blocks per dispatch and all timings take the MIN over batches
+# (robust to relay jitter, not to the claim lottery; see docs/PERF.md).
 
 
 def _sync(out):
@@ -184,13 +187,19 @@ def bench_quality(n_blocks=16):
     from coherent_rtlsdr_tpu.pipeline import align_offline
     from coherent_rtlsdr_tpu.signal.synth import make_truth, synth_capture
 
-    truth = make_truth(N_CH, seed=7, max_delay=40.0, snr_db=30.0)
-    cap = synth_capture(
-        jax.random.PRNGKey(7), truth, n_blocks=n_blocks, block_len=L
-    )
+    # Synthesize on the HOST CPU backend: the generator runs eager complex
+    # ops, which fail UNIMPLEMENTED (and poison the process) if they land on
+    # the axon device. Only the u8 bytes cross to the TPU.
+    with jax.default_device(jax.devices("cpu")[0]):
+        truth = make_truth(N_CH, seed=7, max_delay=40.0, snr_db=30.0)
+        cap = synth_capture(
+            jax.random.PRNGKey(7), truth, n_blocks=n_blocks, block_len=L
+        )
+        sig_host = np.asarray(cap.sig_u8).reshape(n_blocks, N_CH, 2 * L)
+        ref_host = np.asarray(cap.ref_u8).reshape(n_blocks, 2 * L)
     cfg = PipelineConfig(n_channels=N_CH, block_len=L, **FUSED)
-    sig = jnp.asarray(np.asarray(cap.sig_u8).reshape(n_blocks, N_CH, 2 * L))
-    ref = jnp.asarray(np.asarray(cap.ref_u8).reshape(n_blocks, 2 * L))
+    sig = jnp.asarray(sig_host)
+    ref = jnp.asarray(ref_host)
 
     @jax.jit
     def run(sig, ref):
@@ -268,6 +277,7 @@ def main():
         # fused (headline) paths first — claims are freshest right after acquire
         offline_fused = bench_offline(**FUSED)
         scan_fused = bench_streaming_scan(**FUSED)
+        scan_deep_fused = bench_streaming_scan(scan_k=SCAN_K_DEEP, **FUSED)
         scan8_fused = bench_streaming_scan(scan_k=8, **FUSED)
         offline = bench_offline()
         scan = bench_streaming_scan()
@@ -289,6 +299,9 @@ def main():
                 "offline_fused_samples_per_s": round(offline_fused, 1),
                 "streaming_scan32_samples_per_s": round(scan, 1),
                 "streaming_scan32_fused_samples_per_s": round(scan_fused, 1),
+                "streaming_scan128_fused_samples_per_s": round(
+                    scan_deep_fused, 1
+                ),
                 "streaming_scan8_fused_samples_per_s": round(scan8_fused, 1),
                 "streaming_single_samples_per_s": round(single, 1),
                 "sharded_1x1_samples_per_s": round(sharded, 1),

@@ -121,6 +121,9 @@ class CoherentServer:
         logger.setLevel(logging.INFO)
         self.telemetry = TelemetryRecorder()
         self._local_lines = None  # stdin queue when interactive (see run_interactive)
+        # optional io.hwcontrol.HwDriftRelief (rtlsdr source): ticked per
+        # loop iteration with the applied numerical delays
+        self.hw_relief = None
 
         if publisher is None:
             publisher = _make_publisher(data_addr, debug_addr, header)
@@ -140,6 +143,30 @@ class CoherentServer:
         self.state: PipelineState = init_state(cfg)
         if state_path and os.path.exists(state_path):
             self.restore_state(state_path)
+
+    def capture_stderr(self) -> None:
+        """-q mode: redirect OS-level stderr (fd 2) into the console ``log``
+        drain — the reference's redir_stderr (main.cc:63-70): native
+        librtlsdr writes from capture threads land in the same ring the
+        ``log`` command empties (console.cc:422-427). fd-level dup2, so C++
+        producer threads are captured too, not just Python logging."""
+        import threading
+
+        r, w = os.pipe()
+        self._stderr_saved = os.dup(2)
+        os.dup2(w, 2)
+        os.close(w)
+
+        def drain():
+            with os.fdopen(r, "r", errors="replace") as f:
+                for line in f:
+                    line = line.rstrip()
+                    if line:
+                        self._log_lines.append(line)
+                        if len(self._log_lines) > 1000:
+                            del self._log_lines[: len(self._log_lines) - 1000]
+
+        threading.Thread(target=drain, daemon=True).start()
 
     def _build_jits(self, cfg: PipelineConfig) -> None:
         import jax
@@ -373,6 +400,12 @@ class CoherentServer:
                     n += 1
                     self._blocks_done += 1
             self._poll_control()
+            if self.hw_relief is not None:
+                self.hw_relief.tick(
+                    np.asarray(self.state.delay)[: self.n_active]
+                )
+        if self.hw_relief is not None:
+            self.hw_relief.stop()
         if self.state_path:
             self.save_state()
         return n

@@ -335,6 +335,115 @@ def _measure_kernel_i8(
         papr_ref[i, j * nc + c] = zabs * zabs / jnp.maximum(eg, 1e-30)
 
 
+def _measure_kernel_i8_spec(
+    fre_ref, fim_ref, tre_ref, tim_ref, kg_ref, fg_ref, p_ref, q_ref,
+    si_ref, sq_ref, xt_ref, xb_ref, rt_ref, rb_ref,
+    lag_ref, zre_ref, zim_ref, mag_ref, papr_ref, dre_ref, dim_ref,
+    *, W: int, nc: int,
+):
+    """measure_i8 variant that ALSO writes each channel's permuted window
+    spectrum D (bf16 planes) to HBM, so the apply kernel can skip its
+    forward FFT (the spectrum-handoff optimization: writing 64 kB bf16 costs
+    ~0.7 us/ch at the DMA floor vs ~2.7 us to recompute the transform —
+    docs/PERF.md round 3)."""
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    fre = fre_ref[:].astype(jnp.bfloat16)
+    fim = fim_ref[:].astype(jnp.bfloat16)
+    tre = tre_ref[:]
+    tim = tim_ref[:]
+    si = si_ref[:]
+    sq = sq_ref[:]
+    rt_re, rt_im = _load_half_raw(dot, rt_ref[0], si, sq)
+    rb_re, rb_im = _load_half_raw(dot, rb_ref[0], si, sq)
+    rre, rim = _forward_fft_split(
+        dot, fre, fim, tre, tim, rt_re, rt_im, rb_re, rb_im
+    )
+    eref = jnp.sum(rre * rre + rim * rim)
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    for c in range(nc):
+        at_re, at_im = _load_half_raw(dot, xt_ref[0, c], si, sq)
+        ab_re, ab_im = _load_half_raw(dot, xb_ref[0, c], si, sq)
+        dre, dim = _forward_fft_split(
+            dot, fre, fim, tre, tim, at_re, at_im, ab_re, ab_im
+        )
+        dre_ref[0, c] = dre.astype(jnp.bfloat16)
+        dim_ref[0, c] = dim.astype(jnp.bfloat16)
+
+        gre = dre * rre + dim * rim
+        gim = dim * rre - dre * rim
+
+        lag, z_re, z_im, eg = _phase_zoom_core(
+            dot, gre, gim, kg_ref[:], fg_ref[:], p_ref[:], q_ref[:], W
+        )
+
+        esig = jnp.sum(dre * dre + dim * dim)
+        zabs = jnp.sqrt(z_re * z_re + z_im * z_im)
+        denom = jnp.sqrt(esig * eref)
+
+        lag_ref[i, j * nc + c] = lag
+        zre_ref[i, j * nc + c] = z_re
+        zim_ref[i, j * nc + c] = z_im
+        mag_ref[i, j * nc + c] = zabs / jnp.maximum(denom, 1e-30)
+        papr_ref[i, j * nc + c] = zabs * zabs / jnp.maximum(eg, 1e-30)
+
+
+def _apply_spec_kernel_i8(
+    tre_ref, tim_ref, fire_ref, fiim_ref, kg_ref, fg_ref,
+    sit_ref, sqt_ref, dre_ref, dim_ref,
+    adv_ref, pre_ref, pim_ref,
+    y_ref,
+    *, W: int, nc: int,
+):
+    """apply_i8 variant consuming the measure kernel's stored spectra
+    (bf16 D planes) instead of recomputing the forward FFT from raw bytes:
+    ramp + phase fold, inverse four-step center rows, int8 wire epilogue."""
+    m = tre_ref.shape[0]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    tre = tre_ref[:]
+    tim = tim_ref[:]
+    fire = fire_ref[:].astype(jnp.bfloat16)
+    fiim = fiim_ref[:].astype(jnp.bfloat16)
+    fh_re = fire[m // 4: 3 * m // 4, :]
+    fh_im = fiim[m // 4: 3 * m // 4, :]
+    kg = kg_ref[:]
+    fg = fg_ref[:]
+    inv = 1.0 / IQ_SCALE
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    for c in range(nc):
+        dre = dre_ref[0, c].astype(jnp.float32)
+        dim = dim_ref[0, c].astype(jnp.float32)
+
+        d = -adv_ref[i, j * nc + c]
+        di = jnp.floor(d)
+        df = d - di
+        ph = _iramp_fraction(kg, di.astype(jnp.int32), W) + fg * df
+        ph = ph * _TWO_PI
+        wr = jnp.cos(ph)
+        wi = -jnp.sin(ph)
+        p_re = pre_ref[i, j * nc + c]
+        p_im = pim_ref[i, j * nc + c]
+        wr, wi = wr * p_re - wi * p_im, wr * p_im + wi * p_re
+        gre, gim = _cmul(dre, dim, wr, wi)
+
+        g16re = gre.astype(jnp.bfloat16)
+        g16im = gim.astype(jnp.bfloat16)
+        c2re = dot(g16re, fire) - dot(g16im, fiim)
+        c2im = dot(g16re, fiim) + dot(g16im, fire)
+        b2re, b2im = _cmul(c2re, c2im, tre, -tim)  # conj twiddle
+        b16re = b2re.astype(jnp.bfloat16)
+        b16im = b2im.astype(jnp.bfloat16)
+        yre = dot(fh_re, b16re) - dot(fh_im, b16im)
+        yim = dot(fh_re, b16im) + dot(fh_im, b16re)
+        yq_re = jnp.clip(jnp.round(yre * inv), -128.0, 127.0).astype(jnp.bfloat16)
+        yq_im = jnp.clip(jnp.round(yim * inv), -128.0, 127.0).astype(jnp.bfloat16)
+        y_il = dot(yq_re, sit_ref[:]) + dot(yq_im, sqt_ref[:])   # [m/2, 2m]
+        y_ref[0, c] = y_il.astype(jnp.int8)
+
+
 def _apply_kernel_i8(
     fre_ref, fim_ref, tre_ref, tim_ref, fire_ref, fiim_ref, kg_ref, fg_ref,
     si_ref, sq_ref, sit_ref, sqt_ref, xt_ref, xb_ref,
@@ -582,6 +691,76 @@ class FusedPipelineKernels:
             interpret=self._interpret,
         )(t["fre"], t["fim"], t["tre"], t["tim"], t["kg"], t["fg"],
           t["p"], t["q"], t["si"], t["sq"], raw, raw, ref_raw, ref_raw)
+
+    def measure_i8_spec(
+        self, raw: jnp.ndarray, ref_raw: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, ...]:
+        """measure_i8 + stored channel spectra for the spectrum-handoff
+        apply (apply_spec_i8). Returns (lag, z_re, z_im, mag, papr, dre,
+        dim); dre/dim are bf16 ``[T-1, N, m, m]`` permuted spectra."""
+        T, N = raw.shape[:2]
+        m = self.m
+        t = self._t
+        nc = self._pick_nc(N)
+        tab = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                     memory_space=pltpu.VMEM)
+        blk_t = pl.BlockSpec((1, nc, m // 2, 2 * m), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+        blk_b = pl.BlockSpec((1, nc, m // 2, 2 * m), lambda i, j: (i + 1, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+        ref_t = pl.BlockSpec((1, m // 2, 2 * m), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        ref_b = pl.BlockSpec((1, m // 2, 2 * m), lambda i, j: (i + 1, 0, 0),
+                             memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        d_spec = pl.BlockSpec((1, nc, m, m), lambda i, j: (i, j, 0, 0),
+                              memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_measure_kernel_i8_spec, W=self.fft_len, nc=nc),
+            grid=(T - 1, N // nc),
+            in_specs=[tab(t["fre"]), tab(t["fim"]), tab(t["tre"]), tab(t["tim"]),
+                      tab(t["kg"]), tab(t["fg"]), tab(t["p"]), tab(t["q"]),
+                      tab(t["si"]), tab(t["sq"]),
+                      blk_t, blk_b, ref_t, ref_b],
+            out_specs=(s_spec,) * 5 + (d_spec, d_spec),
+            out_shape=tuple(jax.ShapeDtypeStruct((T - 1, N), jnp.float32)
+                            for _ in range(5))
+            + (jax.ShapeDtypeStruct((T - 1, N, m, m), jnp.bfloat16),
+               jax.ShapeDtypeStruct((T - 1, N, m, m), jnp.bfloat16)),
+            interpret=self._interpret,
+        )(t["fre"], t["fim"], t["tre"], t["tim"], t["kg"], t["fg"],
+          t["p"], t["q"], t["si"], t["sq"], raw, raw, ref_raw, ref_raw)
+
+    def apply_spec_i8(
+        self, dre: jnp.ndarray, dim: jnp.ndarray, advance: jnp.ndarray,
+        phase_re: jnp.ndarray, phase_im: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Spectrum-handoff apply: consumes measure_i8_spec's stored bf16
+        spectra ``[T-1, N, m, m]`` (no raw re-read, no second forward FFT).
+        Returns int8 wire blocks ``[T-1, N, m/2, 2m]`` like apply_i8."""
+        T1, N = dre.shape[:2]
+        m = self.m
+        t = self._t
+        nc = self._pick_nc(N)
+        tab = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                     memory_space=pltpu.VMEM)
+        d_spec = pl.BlockSpec((1, nc, m, m), lambda i, j: (i, j, 0, 0),
+                              memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        y_spec = pl.BlockSpec((1, nc, m // 2, 2 * m), lambda i, j: (i, j, 0, 0),
+                              memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_apply_spec_kernel_i8, W=self.fft_len, nc=nc),
+            grid=(T1, N // nc),
+            in_specs=[tab(t["tre"]), tab(t["tim"]),
+                      tab(t["fire"]), tab(t["fiim"]), tab(t["kg"]), tab(t["fg"]),
+                      tab(t["sit"]), tab(t["sqt"]),
+                      d_spec, d_spec, s_spec, s_spec, s_spec],
+            out_specs=y_spec,
+            out_shape=jax.ShapeDtypeStruct((T1, N, m // 2, 2 * m), jnp.int8),
+            interpret=self._interpret,
+        )(t["tre"], t["tim"], t["fire"], t["fiim"], t["kg"], t["fg"],
+          t["sit"], t["sqt"], dre, dim, advance, phase_re, phase_im)
 
     def apply_i8(
         self, raw: jnp.ndarray, advance: jnp.ndarray,

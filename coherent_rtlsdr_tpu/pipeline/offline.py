@@ -165,7 +165,10 @@ def _align_offline_fused_i8(
     raw = u8_to_i8(sig_u8.reshape(T, N, m // 2, 2 * m))
     ref_raw = u8_to_i8(ref_u8.reshape(T, m // 2, 2 * m))
 
-    lag, zre, zim, mag, papr = k.measure_i8(raw, ref_raw)
+    # Spectrum handoff: measure also stores each window's bf16 spectrum so
+    # apply skips its forward FFT (±1 int8 LSB vs recompute — the stored
+    # plane is bf16; docs/PERF.md round 3).
+    lag, zre, zim, mag, papr, dre, dim = k.measure_i8_spec(raw, ref_raw)
     zabs = jnp.sqrt(zre * zre + zim * zim)
 
     delay = smooth_delays(cfg, lag, mag, smoothing)
@@ -177,7 +180,7 @@ def _align_offline_fused_i8(
     ).astype(jnp.complex64)
     pc = _smooth_phases(cfg, pc_inst, mag, smoothing)
 
-    wire_raw = k.apply_i8(raw, delay, jnp.real(pc), jnp.imag(pc))
+    wire_raw = k.apply_spec_i8(dre, dim, delay, jnp.real(pc), jnp.imag(pc))
     wire = wire_raw.reshape(T - 1, N, 2 * L)             # FLAT wire bytes
     wire_ref = jnp.concatenate(
         [ref_raw[:-1, m // 4:], ref_raw[1:, : m // 4]], axis=1

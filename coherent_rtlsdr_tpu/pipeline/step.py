@@ -217,7 +217,12 @@ def _step_fused_u8(
     raw = jnp.stack([state.hist, raw_cur])                # [2, N, m/2, 2m]
     ref_raw = jnp.stack([state.ref_hist, ref_cur])        # [2, m/2, 2m]
 
-    lag_b, zre_b, zim_b, mag_b, papr_b = k.measure_i8(raw, ref_raw)
+    # Spectrum handoff: the window spectra computed for measurement are
+    # stored (bf16) and reused by apply — no second forward FFT, no raw
+    # re-read (docs/PERF.md round 3).
+    lag_b, zre_b, zim_b, mag_b, papr_b, dre_b, dim_b = k.measure_i8_spec(
+        raw, ref_raw
+    )
     lag, zre, zim = lag_b[0], zre_b[0], zim_b[0]
     mag, papr = mag_b[0], papr_b[0]
     zabs = jnp.sqrt(zre * zre + zim * zim)
@@ -237,8 +242,8 @@ def _step_fused_u8(
     ema = ema_complex(old_phase, pc_inst, alpha=cfg.phase_alpha)
     new_phase = jnp.where(good, ema, old_phase)
 
-    wire_raw = k.apply_i8(
-        raw, new_delay[None],
+    wire_raw = k.apply_spec_i8(
+        dre_b, dim_b, new_delay[None],
         jnp.real(new_phase)[None], jnp.imag(new_phase)[None],
     )[0]                                                  # [N, m/2, 2m] i8
     wire = wire_raw.reshape(N, 2 * L)                     # FLAT wire bytes

@@ -101,9 +101,11 @@ int rtlsdr_set_dithering(void *dev, int dither) {
   return 0;
 }
 
-int rtlsdr_set_sample_freq_correction_f(void *dev, float ppm) {
+int rtlsdr_set_sample_freq_correction_f(void *dev, float corr) {
+  /* corr is a dimensionless fraction (~1e-4 scale); log nano-units so
+   * tests can assert the tanh-law values. */
   lg((int)((mockdev *)dev)->idx, "set_sample_freq_correction_f",
-     (long)(ppm * 1000.0f));
+     (long)(corr * 1e9f));
   return 0;
 }
 

@@ -205,11 +205,11 @@ class TestRuntimeControl:
             while cap.pushed < 1 and time.time() < deadline:
                 time.sleep(0.01)
             mark = len(_parse(call_log))
-            assert cap.set_correction_f(2, 3.5) == 0  # -> MOCK0002
+            assert cap.set_correction_f(2, 3.5e-4) == 0  # -> MOCK0002
             entries = _parse(call_log)[mark:]
             hits = [(i, a) for i, fn, a in entries
                     if fn == "set_sample_freq_correction_f"]
-            assert hits == [(2, 3500)]
+            assert hits == [(2, 350000)]  # 3.5e-4 in nano-units
         finally:
             cap.stop()
 
@@ -275,6 +275,167 @@ class TestServerIntegration:
         # ref is wire channel 0 like the reference (ccoherent.cc:253)
         assert frame.iq.shape == (3, 256, 2)
         assert frame.seqnums.shape == (3,)
+
+
+class TestServerFlags:
+    def test_refserial_flag_reorders_and_sets_ref_gain(self, mock_lib,
+                                                       tmp_path):
+        """-I picks the reference dongle (main.cc:139-141): that serial
+        becomes channel 0 and receives the -r gain; others get -g."""
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(HERE)
+        log = str(tmp_path / "flags.log")
+        env = dict(os.environ, MOCK_RTLSDR_LOG=log)
+        errf = open(str(tmp_path / "server.err"), "w")
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "apps", "coherent_server.py"),
+             "--cpu", "--source", "rtlsdr", "--rtl-lib", mock_lib,
+             "--serials", "MOCKREF0,MOCK0001,MOCK0002",
+             "-I", "MOCK0001", "-g", "40", "-r", "30",
+             "-n", "2", "-b", "256", "--blocks", "4",
+             "-A", "tcp://127.0.0.1:18670",
+             "--ctrl-address", "tcp://127.0.0.1:18671",
+             "--debug-address", "tcp://127.0.0.1:18672"],
+            stdout=subprocess.PIPE, stderr=errf, text=True, timeout=300,
+            cwd=repo, env=env,
+        )
+        errf.close()
+        assert r.returncode == 0, r.stdout[-1500:]
+        gains = {i: a for i, fn, a in _parse(log) if fn == "set_tuner_gain"}
+        # MOCK0001 (idx 1) is the reference -> -r 30 dB = 300 tenths;
+        # the others are signal channels -> -g 40 dB = 400 tenths.
+        assert gains == {1: 300, 0: 400, 2: 400}
+
+    def test_quiet_flag_routes_stderr_to_log_drain(self, tmp_path):
+        """-q: OS-level stderr lands in the console `log` drain
+        (main.cc:63-70 + console.cc:422-427 analog)."""
+        import subprocess
+        import sys
+
+        zmq = pytest.importorskip("zmq")
+        repo = os.path.dirname(HERE)
+        port = 18675
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(repo, "apps", "coherent_server.py"),
+             "--cpu", "-q", "-n", "2", "-b", "256", "--blocks", "3000",
+             "-A", f"tcp://127.0.0.1:{port}",
+             "--ctrl-address", f"tcp://127.0.0.1:{port + 1}",
+             "--debug-address", f"tcp://127.0.0.1:{port + 2}"],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            cwd=repo,
+        )
+        try:
+            ctx = zmq.Context()
+            dealer = ctx.socket(zmq.DEALER)
+            dealer.setsockopt(zmq.RCVTIMEO, 5000)
+            dealer.connect(f"tcp://127.0.0.1:{port + 1}")
+            # XLA emits startup warnings on fd 2; with -q they end up in the
+            # drain. Poll `log` until something captured arrives.
+            got = ""
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                dealer.send(b"log")
+                try:
+                    got = dealer.recv().decode()
+                except zmq.Again:
+                    continue
+                if got.strip() and got.strip() != "(empty)":
+                    break
+                time.sleep(0.5)
+            dealer.send(b"quit")
+            dealer.close(0)
+            ctx.term()
+        finally:
+            proc.terminate()
+            try:
+                proc.communicate(timeout=60)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.communicate()
+        assert got.strip() and got.strip() != "(empty)"
+
+
+class TestHwDriftRelief:
+    """The ccontrol actuator (ccontrol.cc:78-123) driven from numerical
+    delays — law, dwell, restore, and the real C actuator path."""
+
+    def test_tanh_pulse_and_deadline_restore(self):
+        from coherent_rtlsdr_tpu.io import hwcontrol
+
+        class FakeCap:
+            def __init__(self):
+                self.calls = []
+
+            def set_correction_f(self, ch, p):
+                self.calls.append((ch, p))
+                return 0
+
+        cap = FakeCap()
+        r = hwcontrol.HwDriftRelief(cap, fs=2.048e6, threshold=8.0)
+        # below threshold: no actuation
+        assert r.tick([0.0, 5.0, -7.9], now=0.0) == 0
+        assert cap.calls == []
+        # ch 1 over threshold: pulse with the reference law on dongle 2
+        assert r.tick([0.0, 50.0, 0.0], now=0.0) == 1
+        (ch, p), = cap.calls
+        assert ch == 2
+        expect = hwcontrol.MAX_CORR * np.tanh(50.0 / hwcontrol.SCALE)
+        assert abs(p - expect) < 1e-9
+        assert r.active == [1]
+        # mid-dwell: no re-pulse even though delay still high
+        dwell = hwcontrol.FRAC_T * abs(50.0 / (expect * 2.048e6))
+        assert r.tick([0.0, 50.0, 0.0], now=dwell * 0.5) == 0
+        # past the dwell deadline: restore 0.0 (and delay now small -> done)
+        assert r.tick([0.0, 1.0, 0.0], now=dwell + 1e-3) == 1
+        assert cap.calls[-1] == (2, 0.0)
+        assert r.active == []
+        assert r.pulses == 1 and r.failures == 0
+
+    def test_negative_delay_negative_correction_and_stop(self):
+        from coherent_rtlsdr_tpu.io import hwcontrol
+
+        class FakeCap:
+            def __init__(self):
+                self.calls = []
+
+            def set_correction_f(self, ch, p):
+                self.calls.append((ch, p))
+                return 0
+
+        cap = FakeCap()
+        r = hwcontrol.HwDriftRelief(cap, fs=1e6, threshold=8.0)
+        r.tick([-40.0], now=0.0)
+        assert cap.calls[0][0] == 1 and cap.calls[0][1] < 0
+        r.stop()
+        assert cap.calls[-1] == (1, 0.0)
+        assert r.active == []
+
+    def test_actuates_real_capture_path(self, call_log):
+        """End-to-end through the C actuator: the mock logs the tanh value
+        in nano-units on the right dongle, then the restore."""
+        from coherent_rtlsdr_tpu.io import hwcontrol
+
+        ring = native.NativeBlockRing(64, 3 * CHAN_BYTES)
+        cap = _start(ring, ["MOCKREF0", "MOCK0001", "MOCK0002"])
+        try:
+            deadline = time.time() + 10
+            while cap.pushed < 1 and time.time() < deadline:
+                time.sleep(0.01)
+            mark = len(_parse(call_log))
+            r = hwcontrol.HwDriftRelief(cap, fs=2.048e6, threshold=8.0)
+            r.tick([0.0, 100.0], now=0.0)   # signal ch 1 -> dongle MOCK0002
+            r.tick([0.0, 0.0], now=1e9)     # force restore
+            entries = _parse(call_log)[mark:]
+            hits = [(i, a) for i, fn, a in entries
+                    if fn == "set_sample_freq_correction_f"]
+            expect = hwcontrol.MAX_CORR * np.tanh(1.0)
+            assert len(hits) == 2
+            assert hits[0][0] == 2 and abs(hits[0][1] - expect * 1e9) < 1e3
+            assert hits[1] == (2, 0)
+        finally:
+            cap.stop()
 
 
 class TestFailurePaths:
