@@ -176,6 +176,7 @@ def main():
             ref_gain_db=args.refgain, agc=args.agc,
         )
         source = RingSource(ring, n_channels=n, block_len=args.blocksize)
+        source.serials = serials  # console `list all` shows the channel map
     elif args.source == "ring":
         from coherent_rtlsdr_tpu import native
         from coherent_rtlsdr_tpu.signal.sources import RingSource
@@ -229,6 +230,20 @@ def main():
         f"coherent_rtlsdr_tpu server: {n} ch x {args.blocksize} @ {args.fs:.0f} "
         f"sps, data {args.address}, ctrl {args.ctrl_address}"
     )
+    # Clean shutdown on SIGINT/SIGTERM: finish the current block, stop
+    # producers, restore skewed dongles, save calibration state. The
+    # reference's teardown is documented as not always clean (README.md:20,
+    # main.cc:281-315); here exit is just "leave the loop".
+    import signal as _signal
+
+    def _graceful(signum, frame):
+        print(f"\nsignal {signum}: shutting down after current block",
+              flush=True)
+        server.request_exit()
+
+    _signal.signal(_signal.SIGINT, _graceful)
+    _signal.signal(_signal.SIGTERM, _graceful)
+
     if args.hw_drift_relief is not None:
         if args.source != "rtlsdr":
             ap.error("--hw-drift-relief requires --source rtlsdr")

@@ -505,14 +505,25 @@ class CoherentServer:
         return "\n".join(lines)
 
     def list_channels(self, all=False) -> str:
+        """`list` = capturing channels; `list all` adds the full USB dongle
+        inventory when librtlsdr is loaded (console.cc:203-223 parity)."""
         n = self.n_active
+        lines = [f"{n} signal channels + ref"]
         serials = getattr(self.source, "serials", None)
         if serials and all:
-            return "\n".join(
-                [f"{n} signal channels + ref:"]
-                + [f"  ch{i + 1}: '{s}'" for i, s in enumerate(serials)]
-            )
-        return f"{n} signal channels + ref"
+            lines[0] += ":"
+            lines += [f"  ch{i + 1}: '{s}'" for i, s in enumerate(serials)]
+        if all:
+            try:
+                from coherent_rtlsdr_tpu import native
+
+                if native.available() and native.rtlsdr_available():
+                    inv = native.rtlsdr_enumerate()
+                    lines.append(f"USB inventory ({len(inv)} dongles):")
+                    lines += [f"  #{i}: '{s}'" for i, s in enumerate(inv)]
+            except Exception:
+                pass
+        return "\n".join(lines)
 
     def phase_table(self) -> str:
         ph = np.degrees(
@@ -583,6 +594,12 @@ class CoherentServer:
 
         t = threading.Thread(target=reader, daemon=True, name="local-console")
         t.start()
+
+    def request_exit(self):
+        """Signal-safe: leave the block loop after the current iteration
+        (run() then restores dongles, saves state, returns normally) —
+        the clean exit the reference documents as broken (README.md:20)."""
+        self._do_exit = True
 
     def shutdown(self):
         self._do_exit = True

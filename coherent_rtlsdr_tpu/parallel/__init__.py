@@ -15,6 +15,7 @@ mesh:
 from coherent_rtlsdr_tpu.parallel.mesh import make_mesh, auto_mesh_shape
 from coherent_rtlsdr_tpu.parallel.sharded import (
     make_auto_sharded_align,
+    make_channel_sharded_align,
     make_sharded_align,
     make_sharded_step,
 )
@@ -23,6 +24,7 @@ __all__ = [
     "make_mesh",
     "auto_mesh_shape",
     "make_auto_sharded_align",
+    "make_channel_sharded_align",
     "make_sharded_align",
     "make_sharded_step",
 ]

@@ -136,6 +136,64 @@ def make_sharded_align(cfg: PipelineConfig, mesh, smoothing: str = "global"):
     return jax.jit(fn)
 
 
+def make_channel_sharded_align(cfg: PipelineConfig, mesh):
+    """Offline align sharded over the CHANNEL axis only — works with every
+    backend including the fused i8 mega-kernels (which GSPMD cannot
+    partition: Pallas calls are opaque custom-calls, and the explicit
+    shard_map halo runner above hand-schedules an XLA-ops path).
+
+    With channels split and time local, everything is channel-local: each
+    shard runs the complete offline engine (measure -> smooth -> apply,
+    pipeline/offline.py) on its channel slice with the replicated reference
+    — ZERO collectives in the hot path, so scaling is the ideal
+    samples/s x n_chips (the reference channel's windows are recomputed
+    per shard; that is nc/N of one shard's work, the same trade the fused
+    measure kernel already makes per grid column).
+
+    Input: sig_u8 ``[T, N, L, 2]`` (or flat ``[T, N, 2L]``) P(channel on
+    axis 1); ref_u8 replicated. Returns (wire, delay, mag): int8 wire
+    blocks for the fused backend (complex aligned stays on-device;
+    complex64 cannot cross the program boundary on the axon backend).
+    """
+    import dataclasses
+
+    n_sh = mesh.shape[CHANNEL_AXIS]
+    if cfg.n_channels % n_sh:
+        raise ValueError(
+            f"n_channels={cfg.n_channels} not divisible by {n_sh} shards"
+        )
+    local_cfg = dataclasses.replace(cfg, n_channels=cfg.n_channels // n_sh)
+
+    from coherent_rtlsdr_tpu.ops.convert import c64_to_i8_iq
+    from coherent_rtlsdr_tpu.pipeline.offline import align_offline
+
+    def local_fn(sig_u8, ref_u8):
+        res = align_offline(local_cfg, sig_u8, ref_u8, smoothing="global")
+        wire = res.wire if res.wire is not None else c64_to_i8_iq(res.aligned)
+        return wire, res.delay, res.mag
+
+    def run(sig_u8, ref_u8):
+        in_specs = (
+            P(None, CHANNEL_AXIS, None, None) if sig_u8.ndim == 4
+            else P(None, CHANNEL_AXIS, None),
+            P(*([None] * ref_u8.ndim)),
+        )
+        # fused backend emits flat [T-1, N_loc, 2L] int8 wire; others
+        # [T-1, N_loc, L, 2] via c64_to_i8_iq
+        wire_spec = (
+            P(None, CHANNEL_AXIS, None) if cfg.fft_impl == "fused"
+            else P(None, CHANNEL_AXIS, None, None)
+        )
+        out_specs = (wire_spec, P(None, CHANNEL_AXIS), P(None, CHANNEL_AXIS))
+        fn = shard_map(
+            local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(fn)(sig_u8, ref_u8)
+
+    return run
+
+
 def state_partition_spec():
     """PartitionSpec pytree for PipelineState sharded over the channel axis
     (per-channel leaves split; reference history and scalars replicated)."""

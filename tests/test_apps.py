@@ -3,6 +3,7 @@ MATLAB interchange (matsave.cc / measurement_script.m:48-52 analog) and the
 MUSIC client's continuous --follow mode (heatmap2d2.cpp:156-346 analog)."""
 
 import os
+import signal
 import subprocess
 import sys
 import tempfile
@@ -101,6 +102,104 @@ class TestRecordMat:
         assert r.returncode == 0, r.stderr
         with np.load(out) as z:
             assert z["sig_u8"].shape == (2, 2, 32, 2)
+
+
+class TestCleanShutdown:
+    def test_sigint_exits_cleanly_and_saves_state(self, tmp_path):
+        """SIGINT finishes the block, saves calibration state, and exits 0
+        — the clean teardown the reference documents as broken
+        (README.md:20, main.cc:281-315)."""
+        state = str(tmp_path / "cal.npz")
+        errf = open(str(tmp_path / "server.err"), "w")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "apps", "coherent_server.py"),
+             "--cpu", "-n", "2", "-b", "256", "--state", state,
+             "-A", f"tcp://127.0.0.1:{PORT + 20}",
+             "--ctrl-address", f"tcp://127.0.0.1:{PORT + 21}",
+             "--debug-address", f"tcp://127.0.0.1:{PORT + 22}"],
+            stdout=subprocess.PIPE, stderr=errf, text=True, cwd=REPO,
+        )
+        try:
+            # wait for the pipeline to be up (first stdout banner + a beat)
+            assert proc.stdout.readline()
+            time.sleep(8)
+            proc.send_signal(signal.SIGINT)
+            out, _ = proc.communicate(timeout=120)
+        finally:
+            errf.close()
+            if proc.poll() is None:
+                proc.kill()
+                proc.communicate()
+        assert proc.returncode == 0, (proc.returncode, out[-500:])
+        assert "published" in out
+        assert os.path.exists(state)
+        with np.load(state) as z:
+            assert "delay" in z and z["delay"].shape == (2,)
+
+
+class TestCaptureDaemon:
+    def test_daemon_feeds_remote_server_ring(self, tmp_path):
+        """Multi-host ingest chain: capture_daemon (synth) --raw ZMQ-->
+        server --source ring --ingest zmq --> aligned wire frames. The
+        reference's raw mode (main.cc:105,148-150) as the czmqsdr network
+        device (csdrdevice.h:270-272)."""
+        pytest.importorskip("coherent_rtlsdr_tpu.native")
+        from coherent_rtlsdr_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        from coherent_rtlsdr_tpu.io.wire import unpack_frame
+
+        dport, sport = PORT + 30, PORT + 33
+        derr = open(str(tmp_path / "daemon.err"), "w")
+        serr = open(str(tmp_path / "server.err"), "w")
+        daemon = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "apps", "capture_daemon.py"),
+             "-n", "2", "-b", "256", "--rate", "200",
+             "-A", f"tcp://127.0.0.1:{dport}", "--blocks", "4000"],
+            stdout=subprocess.PIPE, stderr=derr, text=True, cwd=REPO,
+        )
+        server = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "apps", "coherent_server.py"),
+             "--cpu", "--source", "ring",
+             "--ingest", f"zmq:tcp://127.0.0.1:{dport}",
+             "-n", "2", "-b", "256", "--blocks", "3000",
+             "-A", f"tcp://127.0.0.1:{sport}",
+             "--ctrl-address", f"tcp://127.0.0.1:{sport + 1}",
+             "--debug-address", f"tcp://127.0.0.1:{sport + 2}"],
+            stdout=subprocess.PIPE, stderr=serr, text=True, cwd=REPO,
+        )
+        got = None
+        try:
+            ctx = zmq.Context()
+            sub = ctx.socket(zmq.SUB)
+            sub.setsockopt(zmq.SUBSCRIBE, b"")
+            sub.setsockopt(zmq.RCVTIMEO, 1000)
+            sub.connect(f"tcp://127.0.0.1:{sport}")
+            deadline = time.time() + 180
+            while got is None and time.time() < deadline:
+                if server.poll() is not None:
+                    break
+                try:
+                    got = sub.recv()
+                except zmq.Again:
+                    continue
+            sub.close(0)
+            ctx.term()
+        finally:
+            for p in (daemon, server):
+                p.terminate()
+            outs = []
+            for p in (daemon, server):
+                try:
+                    outs.append(p.communicate(timeout=60)[0])
+                except subprocess.TimeoutExpired:
+                    p.kill()
+                    outs.append(p.communicate()[0])
+            derr.close()
+            serr.close()
+        assert got is not None, outs
+        frame = unpack_frame(got)
+        assert frame.iq.shape == (3, 256, 2)  # ref + 2 signal channels
 
 
 class TestServerTrace:

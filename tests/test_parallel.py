@@ -101,6 +101,59 @@ class TestAutoShardedAlign:
         )
 
 
+class TestChannelShardedAlign:
+    def test_fused_matches_unsharded(self):
+        """The fused i8 offline engine under channel-only shard_map (the
+        multi-chip throughput path — GSPMD cannot partition Pallas calls)
+        must match the unsharded engine: smoothing is channel-local, so the
+        per-shard programs compute the same terms."""
+        from coherent_rtlsdr_tpu.parallel import make_channel_sharded_align
+
+        Lf = 2048  # fused needs a square fft_len (4096 = 64^2)
+        N, T = 8, 4
+        truth = make_truth(N, seed=3, max_delay=20.0, snr_db=30.0)
+        cap = synth_capture(jax.random.PRNGKey(3), truth, n_blocks=T,
+                            block_len=Lf)
+        cfg = PipelineConfig(n_channels=N, block_len=Lf, fft_impl="fused",
+                             lag_method="phase_zoom")
+        sig = jnp.asarray(np.asarray(cap.sig_u8).reshape(T, N, 2 * Lf))
+        ref = jnp.asarray(np.asarray(cap.ref_u8).reshape(T, 2 * Lf))
+
+        res = jax.jit(
+            lambda s, r: align_offline(cfg, s, r, smoothing="global")
+        )(sig, ref)
+
+        mesh = make_mesh(1, 8)
+        run = make_channel_sharded_align(cfg, mesh)
+        wire_s, delay_s, mag_s = run(sig, ref)
+
+        np.testing.assert_allclose(np.asarray(delay_s), np.asarray(res.delay),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(mag_s), np.asarray(res.mag),
+                                   atol=1e-5)
+        diff = np.abs(np.asarray(wire_s, np.int32)
+                      - np.asarray(res.wire, np.int32))
+        assert diff.max() <= 1  # bf16 accumulation-order LSB at most
+
+    def test_xla_backend_works_too(self):
+        from coherent_rtlsdr_tpu.parallel import make_channel_sharded_align
+        from coherent_rtlsdr_tpu.ops.convert import c64_to_i8_iq
+
+        truth, cap = _capture(n_channels=8, n_blocks=4)
+        cfg = PipelineConfig(n_channels=8, block_len=L)
+        res = jax.jit(
+            lambda s, r: align_offline(cfg, s, r, smoothing="global")
+        )(cap.sig_u8, cap.ref_u8)
+        mesh = make_mesh(1, 8)
+        run = make_channel_sharded_align(cfg, mesh)
+        wire_s, delay_s, mag_s = run(cap.sig_u8, cap.ref_u8)
+        np.testing.assert_allclose(np.asarray(delay_s), np.asarray(res.delay),
+                                   atol=1e-5)
+        diff = np.abs(np.asarray(wire_s, np.int32)
+                      - np.asarray(c64_to_i8_iq(res.aligned), np.int32))
+        assert diff.max() <= 1  # f32 reduction-order LSB at the quantizer
+
+
 class TestShardedStep:
     def test_matches_unsharded_step(self):
         truth, cap = _capture(n_channels=8, n_blocks=4, seed=1)

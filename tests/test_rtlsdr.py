@@ -438,6 +438,37 @@ class TestHwDriftRelief:
             cap.stop()
 
 
+class TestConsoleInventory:
+    def test_list_all_shows_usb_inventory(self, mock_lib):
+        """console `list all` appends the full dongle inventory when
+        librtlsdr is loaded (console.cc:203-223 parity)."""
+        from coherent_rtlsdr_tpu.io.server import CoherentServer
+        from coherent_rtlsdr_tpu.pipeline import PipelineConfig
+        from coherent_rtlsdr_tpu.signal import make_truth
+        from coherent_rtlsdr_tpu.signal.sources import SyntheticStreamSource
+
+        class FakePub:
+            def publish(self, *a, **k):
+                return 0
+
+            def close(self):
+                pass
+
+        class FakeCtl:
+            def poll(self, cb):
+                pass
+
+        truth = make_truth(2, seed=0, max_delay=10.0, snr_db=30.0)
+        src = SyntheticStreamSource(truth, block_len=256, seed=0)
+        srv = CoherentServer(
+            PipelineConfig(n_channels=2, block_len=256), src,
+            publisher=FakePub(), control=FakeCtl(),
+        )
+        out = srv.list_channels(all=True)
+        assert "USB inventory (4 dongles)" in out
+        assert "'MOCKREF0'" in out and "'MOCK0003'" in out
+
+
 class TestFailurePaths:
     def test_unknown_serial_aborts_with_error(self, call_log):
         ring = native.NativeBlockRing(64, 2 * CHAN_BYTES)
