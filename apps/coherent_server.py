@@ -145,21 +145,27 @@ def main():
             if not native.rtlsdr_load(args.rtl_lib):
                 ap.error("librtlsdr not found (set --rtl-lib or "
                          "$COHERENT_LIBRTLSDR)")
+        gains_db = None
         if args.serials:
             serials = [s for s in args.serials.split(",") if s]
         elif args.config:
             defs = read_config(args.config)
-            serials = [get_refname(defs)] + [
-                d.serial for d in signal_channels(defs)
-            ]
+            sig_defs = signal_channels(defs)
+            serials = [get_refname(defs)] + [d.serial for d in sig_defs]
+            ref_def = next(d for d in defs if d.devindex == 0)
+            gains = [ref_def.gain_db] + [d.gain_db for d in sig_defs]
+            if any(g is not None for g in gains):
+                gains_db = gains  # per-channel gains from the config file
         else:
             serials = native.rtlsdr_enumerate()
             print(f"enumerated {len(serials)} dongles: {serials}")
         if args.refserial:
             if args.refserial not in serials:
                 ap.error(f"-I serial '{args.refserial}' not in {serials}")
-            serials.remove(args.refserial)
-            serials.insert(0, args.refserial)
+            i = serials.index(args.refserial)
+            serials.insert(0, serials.pop(i))
+            if gains_db is not None:
+                gains_db.insert(0, gains_db.pop(i))
         if len(serials) < 2:
             ap.error("rtlsdr source needs >= 2 dongles (ref + signal)")
         if len(serials) - 1 != n:
@@ -173,7 +179,7 @@ def main():
         producer = native.NativeRtlCapture(
             ring, serials, block_len=args.blocksize, fs=args.fs,
             fcenter=args.fcenter, gain_db=args.gain,
-            ref_gain_db=args.refgain, agc=args.agc,
+            ref_gain_db=args.refgain, agc=args.agc, gains_db=gains_db,
         )
         source = RingSource(ring, n_channels=n, block_len=args.blocksize)
         source.serials = serials  # console `list all` shows the channel map

@@ -19,10 +19,16 @@ from typing import List
 
 @dataclasses.dataclass(frozen=True)
 class ChannelDef:
-    """sdrdefs analog (cconfigfile.h:25-28): devindex 0 == reference."""
+    """sdrdefs analog (cconfigfile.h:25-28): devindex 0 == reference.
+
+    ``gain_db`` extends the grammar with the per-channel tuner gain the
+    reference left as future work (examplecfg/four.cfg:4): an optional
+    ``gain=<dB>`` token after the serial. None = use the CLI default.
+    """
 
     devindex: int
     serial: str
+    gain_db: float = None
 
 
 def parse_config(text: str) -> List[ChannelDef]:
@@ -45,7 +51,17 @@ def parse_config(text: str) -> List[ChannelDef]:
         end = ln.find("'", st + 1)
         if st < 0 or end < 0:
             continue
-        out.append(ChannelDef(devindex=devindex, serial=ln[st + 1 : end]))
+        gain = None
+        tail = ln[end + 1 :]
+        g = tail.find("gain=")
+        if g >= 0:
+            try:
+                gain = float(tail[g + 5 :].split()[0])
+            except (ValueError, IndexError):
+                gain = None
+        out.append(
+            ChannelDef(devindex=devindex, serial=ln[st + 1 : end], gain_db=gain)
+        )
     return out
 
 

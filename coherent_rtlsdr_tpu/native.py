@@ -89,6 +89,11 @@ def _load():
         ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
         ctypes.c_uint32,
     ]
+    lib.chost_rtlsdr_capture_start_gains.restype = ctypes.c_void_p
+    lib.chost_rtlsdr_capture_start_gains.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int, ctypes.c_uint32,
+    ]
     lib.chost_rtlsdr_capture_pushed.restype = ctypes.c_uint64
     lib.chost_rtlsdr_capture_pushed.argtypes = [ctypes.c_void_p]
     lib.chost_rtlsdr_capture_error.restype = ctypes.c_int
@@ -321,16 +326,35 @@ class NativeRtlCapture:
     def __init__(self, ring: "NativeBlockRing", serials, block_len: int,
                  fs: float = 2.048e6, fcenter: float = 1024e6,
                  gain_db: float = 50.0, ref_gain_db: float = 50.0,
-                 agc: bool = False, asyncbufn: int = 8):
+                 agc: bool = False, asyncbufn: int = 8,
+                 gains_db=None):
+        """``gains_db``: optional per-dongle tuner gains (dB, reference
+        first, one per serial; None entries fall back to gain_db/
+        ref_gain_db) — the per-channel gain config the reference left as
+        future work (examplecfg/four.cfg:4)."""
         lib = _load()
         self._lib = lib
         self._ring = ring
         self.serials = list(serials)
-        ptr = lib.chost_rtlsdr_capture_start(
-            ring._ptr, ",".join(self.serials).encode(), int(block_len),
-            int(fs), int(fcenter), int(round(gain_db * 10)),
-            int(round(ref_gain_db * 10)), 1 if agc else 0, int(asyncbufn),
-        )
+        if gains_db is not None:
+            if len(gains_db) != len(self.serials):
+                raise ValueError("gains_db must have one entry per serial")
+            defaults = [ref_gain_db] + [gain_db] * (len(self.serials) - 1)
+            tenths = [
+                str(int(round((g if g is not None else d) * 10)))
+                for g, d in zip(gains_db, defaults)
+            ]
+            ptr = lib.chost_rtlsdr_capture_start_gains(
+                ring._ptr, ",".join(self.serials).encode(),
+                ",".join(tenths).encode(), int(block_len),
+                int(fs), int(fcenter), 1 if agc else 0, int(asyncbufn),
+            )
+        else:
+            ptr = lib.chost_rtlsdr_capture_start(
+                ring._ptr, ",".join(self.serials).encode(), int(block_len),
+                int(fs), int(fcenter), int(round(gain_db * 10)),
+                int(round(ref_gain_db * 10)), 1 if agc else 0, int(asyncbufn),
+            )
         if not ptr:
             raise RuntimeError(
                 "rtlsdr capture failed to start (librtlsdr missing, bad "

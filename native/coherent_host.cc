@@ -566,6 +566,7 @@ struct RtlDev {
   RtlCapture *owner = nullptr;
   void *dev = nullptr;
   int index = -1;
+  uint32_t gain = 0;  // tenths of dB, per dongle (config-file gains)
   std::string serial;
   std::thread th;
   // bounded byte FIFO: USB callback -> assembler
@@ -654,9 +655,7 @@ void rtl_async_callback(unsigned char *buf, uint32_t len, void *ctx) {
 void rtl_device_main(RtlDev *d) {
   auto *c = d->owner;
   auto &r = rtldl::api();
-  int rc = rtl_open_configure(d, c->fs, c->fcenter,
-                              d == c->devs[0].get() ? c->ref_gain : c->gain,
-                              c->agc);
+  int rc = rtl_open_configure(d, c->fs, c->fcenter, d->gain, c->agc);
   {
     std::unique_lock<std::mutex> lk(c->bmtx);
     if (rc != 0) {
@@ -764,12 +763,71 @@ void *chost_rtlsdr_capture_start(void *ring, const char *serials_csv,
       auto d = std::make_unique<RtlDev>();
       d->owner = c;
       d->serial = s;
+      d->gain = c->devs.empty() ? ref_gain : gain;
       d->fifo_cap = size_t(c->asyncbufn) * c->chan_bytes * 2;
       c->devs.push_back(std::move(d));
     }
     pos = comma + 1;
   }
   if (c->devs.empty() ||
+      c->ring->block_bytes != c->devs.size() * c->chan_bytes) {
+    delete c;
+    return nullptr;
+  }
+  for (auto &d : c->devs) d->th = std::thread(rtl_device_main, d.get());
+  c->assembler = std::thread(rtl_assembler_main, c);
+  return c;
+}
+
+// Start variant with PER-DONGLE tuner gains (tenths of dB, reference
+// first, comma-separated, exactly one per serial) — the per-channel gain
+// configuration the reference left as future work (examplecfg/four.cfg:4).
+// Gains must be known before the order-sensitive open sequence runs, so
+// they are a start parameter, not a setter.
+void *chost_rtlsdr_capture_start_gains(void *ring, const char *serials_csv,
+                                       const char *gains_csv,
+                                       uint32_t block_len, uint32_t fs,
+                                       uint32_t fcenter, int enable_agc,
+                                       uint32_t asyncbufn) {
+  auto &r = rtldl::api();
+  if (!r.ok || !ring || !serials_csv || !gains_csv || block_len == 0)
+    return nullptr;
+  std::vector<uint32_t> gains;
+  {
+    std::string gcsv(gains_csv);
+    size_t pos = 0;
+    while (pos <= gcsv.size()) {
+      size_t comma = gcsv.find(',', pos);
+      if (comma == std::string::npos) comma = gcsv.size();
+      std::string s = gcsv.substr(pos, comma - pos);
+      if (!s.empty()) gains.push_back(static_cast<uint32_t>(std::atoi(s.c_str())));
+      pos = comma + 1;
+    }
+  }
+  auto *c = new RtlCapture();
+  c->ring = static_cast<BlockRing *>(ring);
+  c->chan_bytes = 2 * block_len;
+  c->asyncbufn = asyncbufn ? asyncbufn : 8;
+  c->fs = fs;
+  c->fcenter = fcenter;
+  c->agc = enable_agc;
+  std::string csv(serials_csv);
+  size_t pos = 0;
+  while (pos <= csv.size()) {
+    size_t comma = csv.find(',', pos);
+    if (comma == std::string::npos) comma = csv.size();
+    std::string s = csv.substr(pos, comma - pos);
+    if (!s.empty()) {
+      auto d = std::make_unique<RtlDev>();
+      d->owner = c;
+      d->serial = s;
+      d->gain = c->devs.size() < gains.size() ? gains[c->devs.size()] : 500;
+      d->fifo_cap = size_t(c->asyncbufn) * c->chan_bytes * 2;
+      c->devs.push_back(std::move(d));
+    }
+    pos = comma + 1;
+  }
+  if (c->devs.empty() || c->devs.size() != gains.size() ||
       c->ring->block_bytes != c->devs.size() * c->chan_bytes) {
     delete c;
     return nullptr;

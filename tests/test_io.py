@@ -105,6 +105,19 @@ R :'M REF'
         chans = signal_channels(parse_config(self.CFG))
         assert [c.devindex for c in chans] == [1, 2, 10]
 
+    def test_per_channel_gains_extension(self):
+        """`gain=<dB>` after the serial — the per-channel gains the
+        reference marks as future work (examplecfg/four.cfg:4). Lines
+        without it keep gain_db=None (CLI default applies)."""
+        defs = parse_config(
+            "R :'M REF' gain=32.5\n1 :'M 1'\n2 :'M 2' gain=40\n"
+        )
+        assert defs[0].gain_db == 32.5
+        assert defs[1].gain_db is None
+        assert defs[2].gain_db == 40.0
+        # the reference's own configs (no gains) still parse identically
+        assert all(d.gain_db is None for d in parse_config(self.CFG))
+
     def test_reference_example_configs(self):
         """Parse the reference repo's own example configs."""
         defs = read_config("/root/reference/examplecfg/URA21.cfg")

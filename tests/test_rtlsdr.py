@@ -308,6 +308,40 @@ class TestServerFlags:
         # the others are signal channels -> -g 40 dB = 400 tenths.
         assert gains == {1: 300, 0: 400, 2: 400}
 
+    def test_config_per_channel_gains_reach_dongles(self, mock_lib,
+                                                    tmp_path):
+        """Config-file `gain=` values (the reference's future-work item,
+        examplecfg/four.cfg:4) land on the matching dongles; channels
+        without one use the CLI default."""
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(HERE)
+        cfgf = str(tmp_path / "arr.cfg")
+        with open(cfgf, "w") as f:
+            f.write("R :'MOCKREF0' gain=32.5\n"
+                    "1 :'MOCK0001'\n"
+                    "2 :'MOCK0002' gain=21\n")
+        log = str(tmp_path / "gains.log")
+        env = dict(os.environ, MOCK_RTLSDR_LOG=log)
+        errf = open(str(tmp_path / "server.err"), "w")
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "apps", "coherent_server.py"),
+             "--cpu", "--source", "rtlsdr", "--rtl-lib", mock_lib,
+             "-C", cfgf, "-g", "44", "-r", "33",
+             "-b", "256", "--blocks", "4",
+             "-A", "tcp://127.0.0.1:18690",
+             "--ctrl-address", "tcp://127.0.0.1:18691",
+             "--debug-address", "tcp://127.0.0.1:18692"],
+            stdout=subprocess.PIPE, stderr=errf, text=True, timeout=300,
+            cwd=repo, env=env,
+        )
+        errf.close()
+        assert r.returncode == 0, r.stdout[-1500:]
+        gains = {i: a for i, fn, a in _parse(log) if fn == "set_tuner_gain"}
+        # ref (idx 0): config 32.5 dB; MOCK0001: CLI -g 44; MOCK0002: 21
+        assert gains == {0: 325, 1: 440, 2: 210}
+
     def test_quiet_flag_routes_stderr_to_log_drain(self, tmp_path):
         """-q: OS-level stderr lands in the console `log` drain
         (main.cc:63-70 + console.cc:422-427 analog)."""
