@@ -139,7 +139,7 @@ def main():
     if args.source == "rtlsdr":
         from coherent_rtlsdr_tpu import native
         from coherent_rtlsdr_tpu.io.config import get_refname
-        from coherent_rtlsdr_tpu.signal.sources import RingSource
+        from coherent_rtlsdr_tpu.signal.sources import RtlSource
 
         if args.rtl_lib or not native.rtlsdr_available():
             if not native.rtlsdr_load(args.rtl_lib):
@@ -173,16 +173,16 @@ def main():
             import dataclasses
 
             cfg = dataclasses.replace(cfg, n_channels=n)
-        ring = native.NativeBlockRing(
-            args.ring_slots, (n + 1) * args.blocksize * 2
-        )
-        producer = native.NativeRtlCapture(
-            ring, serials, block_len=args.blocksize, fs=args.fs,
+        # RtlSource owns the NativeRtlCapture handle, so console
+        # fcenter/fs/add/del reach the dongles (console.cc:156-270 parity).
+        # Ring capacity follows --max-channels for hot-add headroom.
+        source = RtlSource.start(
+            serials, block_len=args.blocksize, ring_slots=args.ring_slots,
+            max_channels=args.max_channels, fs=args.fs,
             fcenter=args.fcenter, gain_db=args.gain,
             ref_gain_db=args.refgain, agc=args.agc, gains_db=gains_db,
         )
-        source = RingSource(ring, n_channels=n, block_len=args.blocksize)
-        source.serials = serials  # console `list all` shows the channel map
+        producer = source.capture
     elif args.source == "ring":
         from coherent_rtlsdr_tpu import native
         from coherent_rtlsdr_tpu.signal.sources import RingSource

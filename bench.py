@@ -153,6 +153,39 @@ def bench_streaming_single(n_iters=16, **cfg_kw):
 FUSED = dict(fft_impl="fused", lag_method="phase_zoom")
 
 
+def bench_sharded_fused_1x1():
+    """make_channel_sharded_align (the fused i8 mega-kernel engine under an
+    explicit channel-axis shard_map — the configuration the multi-chip
+    scaling claim would actually ship) at a 1-device mesh on the real chip.
+    Should land within ~10% of the unsharded fused offline number."""
+    from coherent_rtlsdr_tpu.parallel import make_mesh
+    from coherent_rtlsdr_tpu.parallel.sharded import make_channel_sharded_align
+
+    cfg = PipelineConfig(n_channels=N_CH, block_len=L, **FUSED)
+    mesh = make_mesh(1, 1)
+    run = make_channel_sharded_align(cfg, mesh)
+    sig, ref = _inputs(T_BLOCKS, flat=True)
+    dt = _best(lambda: run(sig, ref))
+    return (T_BLOCKS - 1) * N_CH * L / dt
+
+
+def bench_dispatch_floor(scan_k=SCAN_K):
+    """The flat per-dispatch cost of THIS claim, measured as an empty
+    lax.scan of the same depth (docs/PERF.md round-3 #1: streaming numbers
+    are meaningless without this floor alongside). Returns milliseconds."""
+    def empty(c, _):
+        return c, ()
+
+    @jax.jit
+    def run(x):
+        c, _ = jax.lax.scan(empty, x, None, length=scan_k)
+        return c
+
+    x = jnp.zeros((8,), jnp.float32)
+    dt = _best(lambda: run(x))
+    return dt * 1e3
+
+
 def bench_sharded_1x1():
     """make_sharded_align on a 1x1 (time, channel) mesh on the real chip:
     measures shard_map/jit overhead of the multi-chip path directly (the
@@ -265,13 +298,16 @@ def bench_server(n_blocks=160, warmup=40):
 
 
 def main():
+    import argparse
     import contextlib
 
-    trace_dir = None
-    if "--trace" in sys.argv:
-        trace_dir = sys.argv[sys.argv.index("--trace") + 1]
+    ap = argparse.ArgumentParser(description="coherent_rtlsdr_tpu benchmark")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a JAX profiler trace into DIR")
+    args = ap.parse_args()
     trace_cm = (
-        jax.profiler.trace(trace_dir) if trace_dir else contextlib.nullcontext()
+        jax.profiler.trace(args.trace) if args.trace
+        else contextlib.nullcontext()
     )
     with trace_cm:
         # fused (headline) paths first — claims are freshest right after acquire
@@ -279,10 +315,12 @@ def main():
         scan_fused = bench_streaming_scan(**FUSED)
         scan_deep_fused = bench_streaming_scan(scan_k=SCAN_K_DEEP, **FUSED)
         scan8_fused = bench_streaming_scan(scan_k=8, **FUSED)
+        floor_ms = bench_dispatch_floor()
         offline = bench_offline()
         scan = bench_streaming_scan()
         single = bench_streaming_single(**FUSED)
         sharded = bench_sharded_1x1()
+        sharded_fused = bench_sharded_fused_1x1()
         phase_rms, lag_rms = bench_quality()
         server_fps, server_sps = bench_server()
     best_off = max(offline, offline_fused)
@@ -304,7 +342,9 @@ def main():
                 ),
                 "streaming_scan8_fused_samples_per_s": round(scan8_fused, 1),
                 "streaming_single_samples_per_s": round(single, 1),
+                "dispatch_floor_ms": round(floor_ms, 3),
                 "sharded_1x1_samples_per_s": round(sharded, 1),
+                "sharded_fused_samples_per_s": round(sharded_fused, 1),
                 "streaming_realtime_factor": round(
                     best_scan / BASELINE_SAMPLES_PER_S, 3
                 ),

@@ -139,8 +139,8 @@ class ConsoleDispatcher:
                 c.set_refnoise(False)
                 return "disable refnoise"
             if opt == "lag":
-                c.request_lag()
-                return "lag requested"
+                msg = c.request_lag()
+                return msg or "lag requested"
             if opt == "sync":
                 c.request_sync()
                 return "resync requested"

@@ -457,7 +457,9 @@ class CoherentServer:
         self.fs = float(v)
         self.cfg = dataclasses.replace(self.cfg, fs=float(v))
         if hasattr(self.source, "set_fs"):
-            self.source.set_fs(float(v))
+            rc = self.source.set_fs(float(v))
+            if rc is not None and rc != 0:
+                logger.warning("source fs change failed (rc=%s)", rc)
         self._build_jits(self.cfg)
         self.request_sync()  # fs change forces resync (console.cc:168)
 
@@ -465,9 +467,12 @@ class CoherentServer:
         return self.fcenter
 
     def set_fcenter(self, v):
-        self.fcenter = v
         if hasattr(self.source, "set_fcenter"):
-            self.source.set_fcenter(v)
+            rc = self.source.set_fcenter(v)
+            if rc is not None and rc != 0:
+                logger.warning("source retune failed (rc=%s)", rc)
+                return
+        self.fcenter = v
 
     def status(self) -> str:
         s = self.state
@@ -541,9 +546,13 @@ class CoherentServer:
             self.source.refnoise_enabled = bool(v)
 
     def request_lag(self):
-        # All channels are measured every block already (unlike the
-        # reference's nfft-slot round-robin); nothing to force.
-        pass
+        """`request lag` is a no-op BY DESIGN here: every channel's lag is
+        measured every block (unlike the reference's nfft-slot round-robin
+        that this command forces, console.cc:281-284). Saying so in the
+        reply keeps MATLAB clients from assuming the old semantics."""
+        return (
+            "lag is measured on every channel every block; nothing to force"
+        )
 
     def request_sync(self):
         self._resync_requested = True
@@ -554,7 +563,10 @@ class CoherentServer:
         old_n = self.n_active
         if self.max_channels is not None and old_n + 1 > self.max_channels:
             return f"channel limit reached ({self.max_channels})"
-        idx = self.source.add_channel(serial)
+        try:
+            idx = self.source.add_channel(serial)
+        except RuntimeError as e:  # hardware open failed (rtlsdr source)
+            return str(e)
         self._resize_channels(list(range(old_n)) + [-1])
         return f"added '{serial}' as channel {idx + 1}"  # wire ch 0 = ref
 
@@ -587,10 +599,26 @@ class CoherentServer:
         self._local_lines = q
 
         def reader():
-            for line in stream:
-                q.put(line.rstrip("\n"))
-                if line.strip() == "quit":
-                    return
+            if stream is sys.stdin and sys.stdin.isatty():
+                # the reference shell is a readline loop (console.cc:38-57):
+                # importing readline gives input() line editing + history
+                try:
+                    import readline  # noqa: F401
+                except ImportError:
+                    pass
+                while True:
+                    try:
+                        line = input("> ")
+                    except EOFError:
+                        return
+                    q.put(line)
+                    if line.strip() == "quit":
+                        return
+            else:
+                for line in stream:
+                    q.put(line.rstrip("\n"))
+                    if line.strip() == "quit":
+                        return
 
         t = threading.Thread(target=reader, daemon=True, name="local-console")
         t.start()

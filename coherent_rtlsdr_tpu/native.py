@@ -30,16 +30,31 @@ def _load():
     lib = ctypes.CDLL(_LIB_PATH)
     lib.chost_ring_create.restype = ctypes.c_void_p
     lib.chost_ring_create.argtypes = [ctypes.c_uint32, ctypes.c_uint32]
+    lib.chost_ring_create_seq.restype = ctypes.c_void_p
+    lib.chost_ring_create_seq.argtypes = [
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+    ]
+    lib.chost_ring_nseq.restype = ctypes.c_uint32
+    lib.chost_ring_nseq.argtypes = [ctypes.c_void_p]
     lib.chost_ring_destroy.argtypes = [ctypes.c_void_p]
     lib.chost_ring_push.restype = ctypes.c_int64
     lib.chost_ring_push.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64,
+    ]
+    lib.chost_ring_push_n.restype = ctypes.c_int64
+    lib.chost_ring_push_n.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_uint32,
     ]
     lib.chost_ring_pop.restype = ctypes.c_int
     lib.chost_ring_pop.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int,
+    ]
+    lib.chost_ring_pop_n.restype = ctypes.c_int
+    lib.chost_ring_pop_n.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
     ]
     lib.chost_ring_dropped.restype = ctypes.c_uint64
     lib.chost_ring_dropped.argtypes = [ctypes.c_void_p]
@@ -110,6 +125,26 @@ def _load():
     lib.chost_rtlsdr_capture_set_fcenter.argtypes = [
         ctypes.c_void_p, ctypes.c_uint32,
     ]
+    lib.chost_rtlsdr_capture_set_sample_rate.restype = ctypes.c_int
+    lib.chost_rtlsdr_capture_set_sample_rate.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32,
+    ]
+    lib.chost_rtlsdr_capture_add.restype = ctypes.c_int
+    lib.chost_rtlsdr_capture_add.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32,
+    ]
+    lib.chost_rtlsdr_capture_remove.restype = ctypes.c_int
+    lib.chost_rtlsdr_capture_remove.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+    ]
+    lib.chost_rtlsdr_capture_ndev.restype = ctypes.c_int
+    lib.chost_rtlsdr_capture_ndev.argtypes = [ctypes.c_void_p]
+    lib.chost_rtlsdr_capture_serial.restype = ctypes.c_int
+    lib.chost_rtlsdr_capture_serial.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_char_p, ctypes.c_int,
+    ]
+    lib.chost_rtlsdr_capture_stalls.restype = ctypes.c_uint64
+    lib.chost_rtlsdr_capture_stalls.argtypes = [ctypes.c_void_p]
     lib.chost_rtlsdr_capture_stop.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -124,21 +159,31 @@ def available() -> bool:
 
 
 class NativeBlockRing:
-    """SPSC block ring (owned-slot copies; no stale-buffer race class)."""
+    """SPSC block ring (owned-slot copies; no stale-buffer race class).
 
-    def __init__(self, nslots_pow2: int, block_bytes: int):
+    ``n_seq > 1`` gives every slot that many seqnum tracks — one per capture
+    channel (ref first), mirroring the reference's per-device ``readcnt``
+    (src/crtlsdr.cc:181-188): a single channel's FIFO drop gaps only that
+    channel's track. ``n_seq`` also sets the hot-add channel capacity of an
+    rtlsdr capture bound to this ring (block_bytes = n_seq * 2 * block_len).
+    """
+
+    def __init__(self, nslots_pow2: int, block_bytes: int, n_seq: int = 1):
         lib = _load()
         self._lib = lib
         self._block_bytes = block_bytes
-        self._ptr = lib.chost_ring_create(nslots_pow2, block_bytes)
+        self.n_seq = int(n_seq)
+        self._ptr = lib.chost_ring_create_seq(nslots_pow2, block_bytes, n_seq)
         if not self._ptr:
-            raise ValueError("nslots must be a power of two")
+            raise ValueError("nslots must be a power of two (and n_seq >= 1)")
 
-    def push(self, block: np.ndarray, seqnum: int) -> int:
+    def push(self, block: np.ndarray, seqnum) -> int:
         b = np.ascontiguousarray(block).view(np.uint8).reshape(-1)
         assert b.nbytes == self._block_bytes, (b.nbytes, self._block_bytes)
-        return self._lib.chost_ring_push(
-            self._ptr, b.ctypes.data_as(ctypes.c_char_p), seqnum
+        seqs = np.atleast_1d(np.asarray(seqnum, np.uint64))
+        return self._lib.chost_ring_push_n(
+            self._ptr, b.ctypes.data_as(ctypes.c_char_p),
+            seqs.ctypes.data_as(ctypes.c_void_p), seqs.size,
         )
 
     def pop(self, timeout_ms: int = 0) -> Optional[Tuple[np.ndarray, int, int]]:
@@ -152,6 +197,22 @@ class NativeBlockRing:
         if not ok:
             return None
         return out, seq.value, ts.value
+
+    def pop_n(
+        self, timeout_ms: int = 0
+    ) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
+        """Pop with ALL per-channel seqnum tracks: (block, seqs[n_seq], ts)."""
+        out = np.empty(self._block_bytes, np.uint8)
+        seqs = np.empty(self.n_seq, np.uint64)
+        ts = ctypes.c_int64()
+        ok = self._lib.chost_ring_pop_n(
+            self._ptr, out.ctypes.data_as(ctypes.c_char_p),
+            seqs.ctypes.data_as(ctypes.c_void_p), self.n_seq,
+            ctypes.byref(ts), timeout_ms,
+        )
+        if not ok:
+            return None
+        return out, seqs, ts.value
 
     @property
     def dropped(self) -> int:
@@ -393,6 +454,56 @@ class NativeRtlCapture:
         if not self._ptr:
             return -1
         return self._lib.chost_rtlsdr_capture_set_fcenter(self._ptr, int(hz))
+
+    def set_fs(self, hz: float) -> int:
+        """Set the sample rate on all dongles while streaming (console `fs`
+        semantics, console.cc:156-175; the caller forces a resync)."""
+        if not self._ptr:
+            return -1
+        return self._lib.chost_rtlsdr_capture_set_sample_rate(
+            self._ptr, int(hz)
+        )
+
+    def add(self, serial: str, gain_db: Optional[float] = None) -> int:
+        """Hot-add a dongle (console `add`, console.cc:225-270). Returns the
+        new capture channel index (>= 1; 0 is the reference) or a negative
+        open rc. Needs a ring created with n_seq > current channel count."""
+        if not self._ptr:
+            return -1
+        tenths = 0 if gain_db is None else int(round(gain_db * 10))
+        rc = self._lib.chost_rtlsdr_capture_add(
+            self._ptr, serial.encode(), tenths
+        )
+        if rc >= 0:
+            self.serials = self.capture_serials()
+        return rc
+
+    def remove(self, serial: str) -> int:
+        """Hot-remove a dongle (console `del`); returns its former capture
+        index or -1. Remaining channels shift down one slot."""
+        if not self._ptr:
+            return -1
+        rc = self._lib.chost_rtlsdr_capture_remove(self._ptr, serial.encode())
+        if rc >= 0:
+            self.serials = self.capture_serials()
+        return rc
+
+    def capture_serials(self) -> list:
+        """Current channel->serial map straight from the native capture."""
+        if not self._ptr:
+            return []
+        out = []
+        for i in range(self._lib.chost_rtlsdr_capture_ndev(self._ptr)):
+            buf = ctypes.create_string_buffer(256)
+            if self._lib.chost_rtlsdr_capture_serial(self._ptr, i, buf, 256) >= 0:
+                out.append(buf.value.decode())
+        return out
+
+    @property
+    def stalls(self) -> int:
+        """Frames abandoned because a device went silent for 200 ms (two-
+        pass assembly consumed nothing — no silent channel skew)."""
+        return self._lib.chost_rtlsdr_capture_stalls(self._ptr) if self._ptr else 0
 
     def stop(self):
         if getattr(self, "_ptr", None):

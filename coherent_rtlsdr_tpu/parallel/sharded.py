@@ -172,24 +172,36 @@ def make_channel_sharded_align(cfg: PipelineConfig, mesh):
         wire = res.wire if res.wire is not None else c64_to_i8_iq(res.aligned)
         return wire, res.delay, res.mag
 
+    # Build the shard_map/jit ONCE per input rank: jit's cache is identity-
+    # based, so a fresh closure per call would retrace (and reload the
+    # executable) every invocation — fatal on this path's dispatch budget
+    # (CLAUDE.md rule 5b; advisor r3). Keyed on (sig.ndim, ref.ndim): the
+    # fused backend ships flat [T, N, 2L] bytes, the others [T, N, L, 2].
+    jits = {}
+
     def run(sig_u8, ref_u8):
-        in_specs = (
-            P(None, CHANNEL_AXIS, None, None) if sig_u8.ndim == 4
-            else P(None, CHANNEL_AXIS, None),
-            P(*([None] * ref_u8.ndim)),
-        )
-        # fused backend emits flat [T-1, N_loc, 2L] int8 wire; others
-        # [T-1, N_loc, L, 2] via c64_to_i8_iq
-        wire_spec = (
-            P(None, CHANNEL_AXIS, None) if cfg.fft_impl == "fused"
-            else P(None, CHANNEL_AXIS, None, None)
-        )
-        out_specs = (wire_spec, P(None, CHANNEL_AXIS), P(None, CHANNEL_AXIS))
-        fn = shard_map(
-            local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=False,
-        )
-        return jax.jit(fn)(sig_u8, ref_u8)
+        key = (sig_u8.ndim, ref_u8.ndim)
+        fn = jits.get(key)
+        if fn is None:
+            in_specs = (
+                P(None, CHANNEL_AXIS, None, None) if key[0] == 4
+                else P(None, CHANNEL_AXIS, None),
+                P(*([None] * key[1])),
+            )
+            # fused backend emits flat [T-1, N_loc, 2L] int8 wire; others
+            # [T-1, N_loc, L, 2] via c64_to_i8_iq
+            wire_spec = (
+                P(None, CHANNEL_AXIS, None) if cfg.fft_impl == "fused"
+                else P(None, CHANNEL_AXIS, None, None)
+            )
+            out_specs = (wire_spec, P(None, CHANNEL_AXIS),
+                         P(None, CHANNEL_AXIS))
+            fn = jax.jit(shard_map(
+                local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            ))
+            jits[key] = fn
+        return fn(sig_u8, ref_u8)
 
     return run
 

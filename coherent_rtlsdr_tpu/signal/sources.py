@@ -227,10 +227,13 @@ class RingSource:
     pipeline pops them here. Block layout in the ring: ref block first,
     then N signal channels, uint8 interleaved IQ — one slot per time block.
 
-    ``seqnum`` of the slot is the capture block counter; per-channel seqnums
-    are synthesized from it plus the ring's drop counter (a full ring drops
-    whole frames, which downstream sees as frame-level gaps, matching the
-    reference's failure mode).
+    A per-channel ring (``n_seq > 1``, the rtlsdr capture path) carries one
+    capture-order seqnum per channel — the reference's per-device ``readcnt``
+    (src/crtlsdr.cc:181-188, cpacketizer.cc:142) — so a single dongle's FIFO
+    drop gaps exactly that channel downstream. A frame-level ring (``n_seq
+    == 1``: file replay / network ingest) replicates the slot seqnum across
+    channels; a full ring then drops whole frames, which downstream sees as
+    frame-level gaps, matching the reference's failure mode.
     """
 
     def __init__(self, ring, n_channels: int, block_len: int, timeout_ms: int = 5000):
@@ -241,6 +244,15 @@ class RingSource:
         self.refnoise_enabled = True
 
     def next_block(self) -> Optional[Block]:
+        if getattr(self._ring, "n_seq", 1) > 1:
+            out = self._ring.pop_n(timeout_ms=self._timeout)
+            if out is None:
+                return None
+            buf, seqs64, _ts = out
+            n_cap = self._ring.n_seq  # capacity incl. ref (may exceed active)
+            frame = buf.reshape(n_cap, self._L, 2)
+            seqs = seqs64[1 : 1 + self._n].astype(np.uint32)
+            return frame[1 : 1 + self._n], frame[0], seqs
         out = self._ring.pop(timeout_ms=self._timeout)
         if out is None:
             return None
@@ -248,6 +260,103 @@ class RingSource:
         frame = buf.reshape(self._n + 1, self._L, 2)
         seqs = np.full(self._n, seqnum, np.uint32)
         return frame[1:], frame[0], seqs
+
+    def drain(self) -> int:
+        """Discard every buffered block (stale channel layout after a
+        hot add/del); returns how many were thrown away."""
+        n = 0
+        while self._ring.pop(timeout_ms=0) is not None:
+            n += 1
+        return n
+
+
+class RtlSource(RingSource):
+    """The real-hardware source: owns the :class:`NativeRtlCapture` handle
+    and routes the console's runtime mutations to the dongles — the last
+    link the reference wires in console.cc:156-270 (``fcenter``/``fs``
+    retune every device, ``add``/``del`` hot-plug a running one).
+
+    Construct via :meth:`start`, which creates the per-channel ring
+    (capacity ``max_channels``), starts the barrier-released capture, and
+    binds them. ``serials`` here are SIGNAL channels only (the console's
+    rx-matrix rows); the reference dongle is ``ref_serial``.
+    """
+
+    def __init__(self, ring, capture, block_len: int, timeout_ms: int = 5000):
+        super().__init__(
+            ring, n_channels=len(capture.serials) - 1, block_len=block_len,
+            timeout_ms=timeout_ms,
+        )
+        self.capture = capture
+        self.refnoise_enabled = True
+
+    @classmethod
+    def start(
+        cls,
+        serials,
+        block_len: int,
+        ring_slots: int = 16,
+        max_channels: Optional[int] = None,
+        timeout_ms: int = 5000,
+        **capture_kw,
+    ) -> "RtlSource":
+        from coherent_rtlsdr_tpu import native
+
+        cap_n = (max_channels if max_channels is not None else len(serials) - 1) + 1
+        if cap_n < len(serials):
+            raise ValueError("max_channels below the starting channel count")
+        ring = native.NativeBlockRing(
+            ring_slots, cap_n * 2 * block_len, n_seq=cap_n
+        )
+        capture = native.NativeRtlCapture(
+            ring, serials, block_len=block_len, **capture_kw
+        )
+        return cls(ring, capture, block_len, timeout_ms=timeout_ms)
+
+    # -- console-facing surface (io/server.py duck-type) -----------------
+
+    @property
+    def serials(self):
+        return self.capture.serials[1:]
+
+    @serials.setter
+    def serials(self, _v):  # the capture owns the truth; ignore assignments
+        pass
+
+    @property
+    def ref_serial(self) -> str:
+        return self.capture.serials[0]
+
+    def set_fcenter(self, hz: float) -> int:
+        return self.capture.set_fcenter(hz)
+
+    def set_fs(self, hz: float) -> int:
+        rc = self.capture.set_fs(hz)
+        self.drain()  # FIFOs were flushed; buffered frames are stale-rate
+        return rc
+
+    def add_channel(self, serial: str, gain_db=None) -> int:
+        """Hot-add a dongle as a new signal channel; returns its signal-row
+        index. Raises RuntimeError when the open fails (bad serial, no slot)."""
+        rc = self.capture.add(serial, gain_db=gain_db)
+        if rc < 0:
+            raise RuntimeError(f"add '{serial}' failed (rc={rc})")
+        self._n = rc  # capture index rc == new signal count (ref is 0)
+        self.drain()  # buffered frames predate the new channel layout
+        return rc - 1
+
+    def del_channel(self, serial: str) -> Optional[int]:
+        if serial == self.ref_serial:
+            return None  # the reference channel defines the timebase
+        rc = self.capture.remove(serial)
+        if rc < 0:
+            return None
+        self._n -= 1
+        self.drain()  # buffered frames still carry the old row layout
+        return rc - 1
+
+    def stop(self):
+        self.capture.stop()
 
 
 class FileSource:

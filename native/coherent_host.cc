@@ -104,8 +104,9 @@ namespace {
 struct BlockRing {
   uint32_t nslots;       // power of two
   uint32_t block_bytes;  // bytes per block (all channels concatenated)
+  uint32_t n_seq;        // seqnums per slot (1 = frame-level; N+1 = per-chan)
   std::vector<uint8_t> data;
-  std::vector<uint64_t> seqnum;
+  std::vector<uint64_t> seqnum;  // [nslots * n_seq]
   std::vector<int64_t> ts_ns;
   std::atomic<uint64_t> wp{0};
   std::atomic<uint64_t> rp{0};
@@ -144,15 +145,30 @@ extern "C" {
 
 // ---- ring --------------------------------------------------------------
 
-void *chost_ring_create(uint32_t nslots_pow2, uint32_t block_bytes) {
+// Create with per-channel seqnum tracks: each slot carries `n_seq` seqnums
+// (the reference publishes one `readcnt` per device, src/crtlsdr.cc:181-188 /
+// cpacketizer.cc:142 — per-channel drop visibility requires per-channel
+// counters, not one frame counter).
+void *chost_ring_create_seq(uint32_t nslots_pow2, uint32_t block_bytes,
+                            uint32_t n_seq) {
   if (nslots_pow2 == 0 || (nslots_pow2 & (nslots_pow2 - 1))) return nullptr;
+  if (n_seq == 0) return nullptr;
   auto *r = new BlockRing();
   r->nslots = nslots_pow2;
   r->block_bytes = block_bytes;
+  r->n_seq = n_seq;
   r->data.resize(size_t(nslots_pow2) * block_bytes);
-  r->seqnum.resize(nslots_pow2);
+  r->seqnum.resize(size_t(nslots_pow2) * n_seq);
   r->ts_ns.resize(nslots_pow2);
   return r;
+}
+
+void *chost_ring_create(uint32_t nslots_pow2, uint32_t block_bytes) {
+  return chost_ring_create_seq(nslots_pow2, block_bytes, 1);
+}
+
+uint32_t chost_ring_nseq(void *rv) {
+  return static_cast<BlockRing *>(rv)->n_seq;
 }
 
 void chost_ring_destroy(void *rv) { delete static_cast<BlockRing *>(rv); }
@@ -160,7 +176,10 @@ void chost_ring_destroy(void *rv) { delete static_cast<BlockRing *>(rv); }
 // Producer: copy a block in. Returns slot index, or -1 when the ring is
 // full (the block is counted as dropped — seqnum-gap detection downstream
 // mirrors the reference's documented drop behavior, README.md:42).
-int64_t chost_ring_push(void *rv, const uint8_t *block, uint64_t seqnum) {
+// Push with one seqnum per track (`seqs` has n_seq entries); n_used tracks
+// carry real values, the rest repeat the last given (padding channels).
+int64_t chost_ring_push_n(void *rv, const uint8_t *block,
+                          const uint64_t *seqs, uint32_t n_used) {
   auto *r = static_cast<BlockRing *>(rv);
   uint64_t wp = r->wp.load(std::memory_order_relaxed);
   uint64_t rp = r->rp.load(std::memory_order_acquire);
@@ -170,7 +189,10 @@ int64_t chost_ring_push(void *rv, const uint8_t *block, uint64_t seqnum) {
   }
   uint32_t slot = wp & (r->nslots - 1);
   std::memcpy(&r->data[size_t(slot) * r->block_bytes], block, r->block_bytes);
-  r->seqnum[slot] = seqnum;
+  uint64_t *dst = &r->seqnum[size_t(slot) * r->n_seq];
+  if (n_used > r->n_seq) n_used = r->n_seq;
+  for (uint32_t i = 0; i < r->n_seq; ++i)
+    dst[i] = seqs[i < n_used ? i : (n_used ? n_used - 1 : 0)];
   r->ts_ns[slot] = now_ns();
   r->wp.store(wp + 1, std::memory_order_release);
   {
@@ -180,10 +202,15 @@ int64_t chost_ring_push(void *rv, const uint8_t *block, uint64_t seqnum) {
   return static_cast<int64_t>(slot);
 }
 
+int64_t chost_ring_push(void *rv, const uint8_t *block, uint64_t seqnum) {
+  return chost_ring_push_n(rv, block, &seqnum, 1);
+}
+
 // Consumer: copy the oldest block out (blocking with timeout_ms; 0 = poll).
+// `seqs` (if non-null) receives min(n_out, n_seq) per-track seqnums.
 // Returns 1 on success, 0 on timeout.
-int chost_ring_pop(void *rv, uint8_t *out, uint64_t *seqnum, int64_t *ts_ns,
-                   int timeout_ms) {
+int chost_ring_pop_n(void *rv, uint8_t *out, uint64_t *seqs, uint32_t n_out,
+                     int64_t *ts_ns, int timeout_ms) {
   auto *r = static_cast<BlockRing *>(rv);
   uint64_t rp = r->rp.load(std::memory_order_relaxed);
   if (r->wp.load(std::memory_order_acquire) == rp) {
@@ -196,10 +223,18 @@ int chost_ring_pop(void *rv, uint8_t *out, uint64_t *seqnum, int64_t *ts_ns,
   }
   uint32_t slot = rp & (r->nslots - 1);
   std::memcpy(out, &r->data[size_t(slot) * r->block_bytes], r->block_bytes);
-  if (seqnum) *seqnum = r->seqnum[slot];
+  if (seqs) {
+    uint32_t n = n_out < r->n_seq ? n_out : r->n_seq;
+    std::memcpy(seqs, &r->seqnum[size_t(slot) * r->n_seq], 8 * size_t(n));
+  }
   if (ts_ns) *ts_ns = r->ts_ns[slot];
   r->rp.store(rp + 1, std::memory_order_release);
   return 1;
+}
+
+int chost_ring_pop(void *rv, uint8_t *out, uint64_t *seqnum, int64_t *ts_ns,
+                   int timeout_ms) {
+  return chost_ring_pop_n(rv, out, seqnum, 1, ts_ns, timeout_ms);
 }
 
 uint64_t chost_ring_dropped(void *rv) {
@@ -564,28 +599,43 @@ struct RtlCapture;
 
 struct RtlDev {
   RtlCapture *owner = nullptr;
-  void *dev = nullptr;
+  void *dev = nullptr;   // guarded by hmtx (device thread closes it on exit)
   int index = -1;
   uint32_t gain = 0;  // tenths of dB, per dongle (config-file gains)
+  bool hot = false;   // hot-added (console `add`): no collective start barrier
   std::string serial;
   std::thread th;
+  std::mutex hmtx;  // guards `dev` against close-vs-setter TOCTOU
   // bounded byte FIFO: USB callback -> assembler
   std::mutex mtx;
   std::condition_variable cv;
   std::vector<uint8_t> fifo;
   size_t fifo_cap = 0;
+  // capture-order accounting (guarded by mtx): `removed` counts whole
+  // channel-blocks taken off the FIFO front — consumed by the assembler OR
+  // dropped on overflow — so the next consumed block's capture seqnum is
+  // removed + 1. This is the per-device `readcnt` the reference publishes
+  // (src/crtlsdr.cc:181-188): a FIFO drop gaps THIS channel's seqnums only.
+  uint64_t removed = 0;
   std::atomic<uint64_t> dropped_blocks{0};
+  std::atomic<int> open_rc{kOpenPending};
+  static constexpr int kOpenPending = -1000;
 };
 
 struct RtlCapture {
   BlockRing *ring = nullptr;
   std::vector<std::unique_ptr<RtlDev>> devs;  // [0] = reference channel
+  std::mutex devs_mtx;  // guards devs; assembler holds it per frame
+  std::atomic<bool> mutate_pending{false};  // add/del/stop wants devs_mtx
   std::thread assembler;
   std::atomic<bool> stop{false};
   std::atomic<bool> done{false};
   std::atomic<int> error{0};
   std::atomic<uint64_t> pushed{0};
+  std::atomic<uint64_t> stalls{0};  // frames abandoned on device timeout
+  std::atomic<uint32_t> spawned{0}, exited{0};  // device-thread liveness
   uint32_t chan_bytes = 0;  // 2 * block_len (one channel-block)
+  uint32_t max_chans = 0;   // ring block_bytes / chan_bytes (hot-add capacity)
   uint32_t asyncbufn = 8;
   uint32_t fs = 0, fcenter = 0, gain = 0, ref_gain = 0;
   int agc = 0;
@@ -594,6 +644,7 @@ struct RtlCapture {
   std::mutex bmtx;
   std::condition_variable bcv;
   uint32_t ready = 0;
+  uint32_t barrier_n = 0;  // initial cohort size (hot-adds don't join it)
   bool aborted = false;
 };
 
@@ -640,13 +691,18 @@ void rtl_async_callback(unsigned char *buf, uint32_t len, void *ctx) {
   if (d->fifo.size() + len > d->fifo_cap) {
     // Drop OLDEST whole channel-blocks (keeps IQ framing; the time skew
     // this introduces vs other channels is the reference's documented
-    // under-load stale-buffer failure, README.md:42 — visible downstream).
+    // under-load stale-buffer failure, README.md:42). Dropped blocks count
+    // into `removed`, so THIS channel's next consumed seqnum gaps — the
+    // in-pipeline gap detector sees exactly the per-channel stale-buffer
+    // failure (pipeline/step.py _seq_gap).
     size_t need = d->fifo.size() + len - d->fifo_cap;
     size_t chan = d->owner->chan_bytes;
     size_t drop = ((need + chan - 1) / chan) * chan;
-    drop = std::min(drop, d->fifo.size());
+    // never split a block: only whole blocks off the front keep framing
+    drop = std::min(drop, (d->fifo.size() / chan) * chan);
     d->fifo.erase(d->fifo.begin(), d->fifo.begin() + drop);
     d->dropped_blocks.fetch_add(drop / chan, std::memory_order_relaxed);
+    d->removed += drop / chan;
   }
   d->fifo.insert(d->fifo.end(), buf, buf + len);
   d->cv.notify_one();
@@ -655,8 +711,21 @@ void rtl_async_callback(unsigned char *buf, uint32_t len, void *ctx) {
 void rtl_device_main(RtlDev *d) {
   auto *c = d->owner;
   auto &r = rtldl::api();
+  c->spawned.fetch_add(1);
   int rc = rtl_open_configure(d, c->fs, c->fcenter, d->gain, c->agc);
-  {
+  d->open_rc.store(rc);
+  if (d->hot) {
+    // Console `add` path (console.cc:225-270): the reference releases a
+    // hot-added device from its own 2-party barrier; here the device
+    // simply starts streaming the moment it is configured.
+    if (rc != 0) {
+      std::lock_guard<std::mutex> g(d->hmtx);
+      if (d->dev) r.close(d->dev);
+      d->dev = nullptr;
+      c->exited.fetch_add(1);
+      return;
+    }
+  } else {
     std::unique_lock<std::mutex> lk(c->bmtx);
     if (rc != 0) {
       c->error.store(rc);
@@ -664,45 +733,112 @@ void rtl_device_main(RtlDev *d) {
     }
     c->ready++;
     c->bcv.notify_all();
-    c->bcv.wait(lk, [&] { return c->ready == c->devs.size(); });
+    c->bcv.wait(lk, [&] { return c->ready == c->barrier_n; });
     if (c->aborted) {
+      lk.unlock();
+      std::lock_guard<std::mutex> g(d->hmtx);
       if (d->dev) r.close(d->dev);
       d->dev = nullptr;
+      c->exited.fetch_add(1);
       return;
     }
   }
   // Barrier released: start streaming (src/crtlsdr.cc:44-59).
   r.reset_buffer(d->dev);
   r.read_async(d->dev, rtl_async_callback, d, c->asyncbufn, c->chan_bytes);
-  // read_async returns after rtlsdr_cancel_async (stop path).
-  r.close(d->dev);
-  d->dev = nullptr;
+  // read_async returns after rtlsdr_cancel_async (stop path) OR on its own
+  // after a USB death — either way close under hmtx (no setter TOCTOU).
+  {
+    std::lock_guard<std::mutex> g(d->hmtx);
+    r.close(d->dev);
+    d->dev = nullptr;
+  }
+  c->exited.fetch_add(1);
 }
 
+// Two-pass frame assembly: pass 1 WAITS until every device FIFO holds a
+// whole channel-block WITHOUT consuming anything; pass 2 then consumes from
+// all devices. A device timing out in pass 1 abandons the frame with zero
+// blocks consumed — the one-pass consume-as-you-wait scheme would silently
+// skew already-consumed channels by whole blocks against the slow device
+// (uncounted coherence break). The assembler holds devs_mtx for the frame;
+// console add/del raise `mutate_pending` (which wakes every pass-1 wait) and
+// take the mutex between frames.
 void rtl_assembler_main(RtlCapture *c) {
-  std::vector<uint8_t> block(c->ring->block_bytes);
-  uint64_t seq = 0;
+  std::vector<uint8_t> block(c->ring->block_bytes, 0x80);  // pad = u8 zero IQ
+  std::vector<uint64_t> seqs(c->ring->n_seq, 0);
   const size_t chan = c->chan_bytes;
   while (!c->stop.load(std::memory_order_relaxed)) {
+    if (c->mutate_pending.load(std::memory_order_acquire)) {
+      std::this_thread::sleep_for(std::chrono::milliseconds(1));
+      continue;  // let add/del grab devs_mtx
+    }
+    std::unique_lock<std::mutex> dl(c->devs_mtx);
+    if (c->devs.empty()) {  // all channels removed: idle until an add
+      dl.unlock();
+      std::this_thread::sleep_for(std::chrono::milliseconds(10));
+      continue;
+    }
     bool got_all = true;
-    for (size_t i = 0; i < c->devs.size(); ++i) {
+    // pass 1: wait, consume nothing
+    for (size_t i = 0; i < c->devs.size() && got_all; ++i) {
       RtlDev *d = c->devs[i].get();
       std::unique_lock<std::mutex> lk(d->mtx);
       if (!d->cv.wait_for(lk, std::chrono::milliseconds(200), [&] {
             return d->fifo.size() >= chan ||
-                   c->stop.load(std::memory_order_relaxed);
-          })) {
-        got_all = false;
-        break;
-      }
+                   c->stop.load(std::memory_order_relaxed) ||
+                   c->mutate_pending.load(std::memory_order_relaxed);
+          }))
+        got_all = false;  // timeout: abandon frame, NOTHING was consumed
       if (c->stop.load(std::memory_order_relaxed)) return;
+      if (c->mutate_pending.load(std::memory_order_relaxed)) got_all = false;
+    }
+    if (!got_all) {
+      if (!c->mutate_pending.load(std::memory_order_relaxed))
+        c->stalls.fetch_add(1, std::memory_order_relaxed);
+      continue;  // re-check stop/mutate; frame intact
+    }
+    // pass 2: consume one channel-block from every device (no waits).
+    // Only an overflow drop can shrink a FIFO concurrently, and a drop
+    // leaves >= fifo_cap - chan bytes behind, so >= chan remains.
+    size_t n = c->devs.size();
+    for (size_t i = 0; i < n; ++i) {
+      RtlDev *d = c->devs[i].get();
+      std::lock_guard<std::mutex> lk(d->mtx);
+      if (d->fifo.size() < chan) {  // defensive: pad + count as a drop
+        std::memset(&block[i * chan], 0x80, chan);
+        d->dropped_blocks.fetch_add(1, std::memory_order_relaxed);
+        seqs[i] = ++d->removed;
+        continue;
+      }
       std::memcpy(&block[i * chan], d->fifo.data(), chan);
       d->fifo.erase(d->fifo.begin(), d->fifo.begin() + chan);
+      seqs[i] = ++d->removed;  // capture-order seqnum incl. earlier drops
     }
-    if (!got_all) continue;  // timeout tick; re-check stop
-    chost_ring_push(c->ring, block.data(), ++seq);
+    for (size_t i = n; i < seqs.size(); ++i) seqs[i] = 0;  // padding tracks
+    for (size_t i = n * chan; i < block.size(); ++i) block[i] = 0x80;
+    chost_ring_push_n(c->ring, block.data(), seqs.data(),
+                      static_cast<uint32_t>(seqs.size()));
     c->pushed.fetch_add(1, std::memory_order_relaxed);
   }
+}
+
+// Ring geometry contract: a legacy ring (n_seq == 1) must match the device
+// count exactly (frame-level seqnums, fixed channel set); a per-channel ring
+// (n_seq > 1, created with chost_ring_create_seq) must have one seqnum track
+// per channel slot and sets the hot-add capacity (devs may start below it).
+bool rtl_capture_geometry_ok(RtlCapture *c) {
+  if (c->devs.empty()) return false;
+  if (c->ring->n_seq == 1) {
+    if (c->ring->block_bytes != c->devs.size() * c->chan_bytes) return false;
+    c->max_chans = static_cast<uint32_t>(c->devs.size());
+  } else {
+    if (c->ring->block_bytes != size_t(c->ring->n_seq) * c->chan_bytes)
+      return false;
+    if (c->devs.size() > c->ring->n_seq) return false;
+    c->max_chans = c->ring->n_seq;
+  }
+  return true;
 }
 
 }  // namespace
@@ -769,11 +905,11 @@ void *chost_rtlsdr_capture_start(void *ring, const char *serials_csv,
     }
     pos = comma + 1;
   }
-  if (c->devs.empty() ||
-      c->ring->block_bytes != c->devs.size() * c->chan_bytes) {
+  if (!rtl_capture_geometry_ok(c)) {
     delete c;
     return nullptr;
   }
+  c->barrier_n = static_cast<uint32_t>(c->devs.size());
   for (auto &d : c->devs) d->th = std::thread(rtl_device_main, d.get());
   c->assembler = std::thread(rtl_assembler_main, c);
   return c;
@@ -811,6 +947,8 @@ void *chost_rtlsdr_capture_start_gains(void *ring, const char *serials_csv,
   c->fs = fs;
   c->fcenter = fcenter;
   c->agc = enable_agc;
+  c->ref_gain = gains.empty() ? 500 : gains.front();
+  c->gain = gains.size() > 1 ? gains.back() : 500;  // hot-add default
   std::string csv(serials_csv);
   size_t pos = 0;
   while (pos <= csv.size()) {
@@ -827,11 +965,11 @@ void *chost_rtlsdr_capture_start_gains(void *ring, const char *serials_csv,
     }
     pos = comma + 1;
   }
-  if (c->devs.empty() || c->devs.size() != gains.size() ||
-      c->ring->block_bytes != c->devs.size() * c->chan_bytes) {
+  if (c->devs.size() != gains.size() || !rtl_capture_geometry_ok(c)) {
     delete c;
     return nullptr;
   }
+  c->barrier_n = static_cast<uint32_t>(c->devs.size());
   for (auto &d : c->devs) d->th = std::thread(rtl_device_main, d.get());
   c->assembler = std::thread(rtl_assembler_main, c);
   return c;
@@ -846,18 +984,50 @@ int chost_rtlsdr_capture_error(void *cv) {
   return cv ? static_cast<RtlCapture *>(cv)->error.load() : 0;
 }
 
+// 0 after stop(), an aborted open, or once EVERY device thread has exited
+// (USB death makes read_async return on its own — without this the consumer
+// would spin on pop timeouts against a dead capture forever).
 int chost_rtlsdr_capture_running(void *cv) {
   if (!cv) return 0;
   auto *c = static_cast<RtlCapture *>(cv);
-  return (c->done.load() || c->aborted) ? 0 : 1;
+  if (c->done.load() || c->aborted) return 0;
+  uint32_t spawned = c->spawned.load();
+  if (spawned > 0 && c->exited.load() >= spawned) return 0;
+  return 1;
 }
 
 uint64_t chost_rtlsdr_capture_dropped(void *cv) {
   if (!cv) return 0;
   auto *c = static_cast<RtlCapture *>(cv);
+  std::lock_guard<std::mutex> g(c->devs_mtx);
   uint64_t n = 0;
   for (auto &d : c->devs) n += d->dropped_blocks.load();
   return n;
+}
+
+// Frames abandoned because a device had no data within the 200 ms window
+// (two-pass assembly: nothing was consumed — no silent channel skew).
+uint64_t chost_rtlsdr_capture_stalls(void *cv) {
+  return cv ? static_cast<RtlCapture *>(cv)->stalls.load() : 0;
+}
+
+int chost_rtlsdr_capture_ndev(void *cv) {
+  if (!cv) return 0;
+  auto *c = static_cast<RtlCapture *>(cv);
+  std::lock_guard<std::mutex> g(c->devs_mtx);
+  return static_cast<int>(c->devs.size());
+}
+
+// Serial of capture channel `ch` (0 = reference) -> out; returns length or -1.
+int chost_rtlsdr_capture_serial(void *cv, uint32_t ch, char *out, int cap) {
+  if (!cv) return -1;
+  auto *c = static_cast<RtlCapture *>(cv);
+  std::lock_guard<std::mutex> g(c->devs_mtx);
+  if (ch >= c->devs.size()) return -1;
+  const std::string &s = c->devs[ch]->serial;
+  if (static_cast<int>(s.size()) + 1 > cap) return -1;
+  std::memcpy(out, s.c_str(), s.size() + 1);
+  return static_cast<int>(s.size());
 }
 
 // Hardware resampler skew — the reference control loop's actuator
@@ -867,8 +1037,11 @@ uint64_t chost_rtlsdr_capture_dropped(void *cv) {
 int chost_rtlsdr_capture_set_correction_f(void *cv, uint32_t ch, float ppm) {
   auto &r = rtldl::api();
   auto *c = static_cast<RtlCapture *>(cv);
-  if (!c || ch >= c->devs.size()) return -1;
+  if (!c) return -1;
+  std::lock_guard<std::mutex> g(c->devs_mtx);
+  if (ch >= c->devs.size()) return -1;
   RtlDev *d = c->devs[ch].get();
+  std::lock_guard<std::mutex> h(d->hmtx);
   if (!r.set_sample_freq_correction_f || !d->dev) return -1;
   return r.set_sample_freq_correction_f(d->dev, ppm);
 }
@@ -879,8 +1052,10 @@ int chost_rtlsdr_capture_set_fcenter(void *cv, uint32_t hz) {
   auto &r = rtldl::api();
   auto *c = static_cast<RtlCapture *>(cv);
   if (!c) return -1;
+  std::lock_guard<std::mutex> g(c->devs_mtx);
   int rc = 0;
   for (auto &d : c->devs) {
+    std::lock_guard<std::mutex> h(d->hmtx);
     if (!d->dev) return -1;
     if (r.set_dithering) r.set_dithering(d->dev, 0);
     if (r.set_center_freq(d->dev, hz) != 0) rc = -1;
@@ -889,14 +1064,126 @@ int chost_rtlsdr_capture_set_fcenter(void *cv, uint32_t hz) {
   return rc;
 }
 
+// Console `fs` semantics (console.cc:156-175): set the sample rate on every
+// dongle while streaming, flush the per-device FIFOs (stale-rate samples),
+// and reset capture-order counters so all channels restart their seqnums
+// together. The caller forces a resync, like the reference does.
+int chost_rtlsdr_capture_set_sample_rate(void *cv, uint32_t fs) {
+  auto &r = rtldl::api();
+  auto *c = static_cast<RtlCapture *>(cv);
+  if (!c) return -1;
+  std::lock_guard<std::mutex> g(c->devs_mtx);
+  int rc = 0;
+  for (auto &d : c->devs) {
+    std::lock_guard<std::mutex> h(d->hmtx);
+    if (!d->dev) return -1;
+    if (r.set_sample_rate(d->dev, fs) != 0) rc = -1;
+  }
+  if (rc == 0) {
+    c->fs = fs;
+    for (auto &d : c->devs) {
+      std::lock_guard<std::mutex> lk(d->mtx);
+      d->fifo.clear();
+    }
+  }
+  return rc;
+}
+
+int chost_rtlsdr_capture_remove(void *cv, const char *serial);
+
+// Hot-add a dongle to a RUNNING capture (console `add`, console.cc:225-270).
+// Requires a per-channel ring with free capacity (chost_ring_create_seq).
+// Blocks until the device is streaming or its open failed; returns the new
+// channel index (>= 1) or a negative open/config rc.
+// (mutate_pending makes the assembler abandon its frame and release
+// devs_mtx at the next wait wake-up — every USB callback notifies — so the
+// lock below is acquired within one 200 ms wait window at worst.)
+int chost_rtlsdr_capture_add(void *cv, const char *serial,
+                             uint32_t gain_tenths) {
+  auto *c = static_cast<RtlCapture *>(cv);
+  if (!c || !serial || !serial[0] || c->aborted) return -1;
+  RtlDev *d;
+  int index;
+  {
+    c->mutate_pending.store(true, std::memory_order_release);
+    std::lock_guard<std::mutex> g(c->devs_mtx);
+    if (c->devs.size() >= c->max_chans) {
+      c->mutate_pending.store(false, std::memory_order_release);
+      return -1;  // ring has no spare channel slot
+    }
+    auto nd = std::make_unique<RtlDev>();
+    nd->owner = c;
+    nd->serial = serial;
+    nd->gain = gain_tenths ? gain_tenths : c->gain;
+    nd->hot = true;
+    nd->fifo_cap = size_t(c->asyncbufn) * c->chan_bytes * 2;
+    d = nd.get();
+    index = static_cast<int>(c->devs.size());
+    c->devs.push_back(std::move(nd));
+    d->th = std::thread(rtl_device_main, d);
+    c->mutate_pending.store(false, std::memory_order_release);
+  }
+  // Wait (outside the lock) for open+configure to finish.
+  while (d->open_rc.load() == RtlDev::kOpenPending)
+    std::this_thread::sleep_for(std::chrono::milliseconds(5));
+  int rc = d->open_rc.load();
+  if (rc != 0) {
+    chost_rtlsdr_capture_remove(cv, serial);
+    return rc;
+  }
+  return index;
+}
+
+// Hot-remove a dongle (console `del`): cancels its async read, joins its
+// thread, drops its channel slot — remaining channels shift down one, the
+// layout the server's row remap mirrors. Returns the former index or -1.
+int chost_rtlsdr_capture_remove(void *cv, const char *serial) {
+  auto *c = static_cast<RtlCapture *>(cv);
+  if (!c || !serial) return -1;
+  auto &r = rtldl::api();
+  std::unique_ptr<RtlDev> victim;
+  int index = -1;
+  c->mutate_pending.store(true, std::memory_order_release);
+  {
+    std::lock_guard<std::mutex> g(c->devs_mtx);
+    for (size_t i = 0; i < c->devs.size(); ++i) {
+      if (c->devs[i]->serial == serial) {
+        index = static_cast<int>(i);
+        victim = std::move(c->devs[i]);
+        c->devs.erase(c->devs.begin() + i);
+        break;
+      }
+    }
+    c->mutate_pending.store(false, std::memory_order_release);
+  }
+  if (!victim) return -1;
+  {
+    std::lock_guard<std::mutex> h(victim->hmtx);
+    if (victim->dev && r.cancel_async) r.cancel_async(victim->dev);
+  }
+  victim->cv.notify_all();
+  if (victim->th.joinable()) victim->th.join();
+  // its thread already exited (counted); keep liveness math consistent
+  c->spawned.fetch_sub(1);
+  c->exited.fetch_sub(1);
+  return index;
+}
+
 void chost_rtlsdr_capture_stop(void *cv) {
   auto *c = static_cast<RtlCapture *>(cv);
   if (!c) return;
   auto &r = rtldl::api();
   c->stop.store(true);
-  for (auto &d : c->devs) {
-    if (d->dev && r.cancel_async) r.cancel_async(d->dev);
-    d->cv.notify_all();
+  c->mutate_pending.store(true, std::memory_order_release);  // unblock pass 1
+  {
+    std::lock_guard<std::mutex> g(c->devs_mtx);
+    for (auto &d : c->devs) {
+      {
+        std::lock_guard<std::mutex> h(d->hmtx);
+        if (d->dev && r.cancel_async) r.cancel_async(d->dev);
+      }
+      d->cv.notify_all();
+    }
   }
   for (auto &d : c->devs)
     if (d->th.joinable()) d->th.join();

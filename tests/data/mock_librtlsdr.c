@@ -117,19 +117,39 @@ int rtlsdr_reset_buffer(void *dev) {
 typedef void (*rtlsdr_read_async_cb_t)(unsigned char *buf, uint32_t len,
                                        void *ctx);
 
+/* Fault-injection knobs (read per block so tests can set them pre-start):
+ *   MOCK_RTLSDR_FAST=<idx>       device <idx> streams 10x faster than the
+ *                                rest -> its consumer-side FIFO overflows
+ *                                (per-channel drop/seqnum-gap tests)
+ *   MOCK_RTLSDR_STALL=<idx>      device <idx> goes silent for 500 ms before
+ *                                its 6th block (two-pass no-skew tests)
+ *   MOCK_RTLSDR_DIE_AFTER=<n>    read_async returns on its own after n
+ *                                blocks on every device (USB-death tests)
+ */
+static long env_long(const char *name, long dflt) {
+  const char *v = getenv(name);
+  return v ? atol(v) : dflt;
+}
+
 int rtlsdr_read_async(void *dev, rtlsdr_read_async_cb_t cb, void *ctx,
                       uint32_t buf_num, uint32_t buf_len) {
   mockdev *d = (mockdev *)dev;
   (void)buf_num;
   lg((int)d->idx, "read_async", (long)buf_len);
   unsigned char *buf = (unsigned char *)malloc(buf_len);
-  uint64_t k = 0;
+  uint64_t k = 0, nblocks = 0;
   while (!atomic_load(&d->cancel)) {
+    if (env_long("MOCK_RTLSDR_DIE_AFTER", -1) >= 0 &&
+        nblocks >= (uint64_t)env_long("MOCK_RTLSDR_DIE_AFTER", -1))
+      break; /* simulate spontaneous USB death: async read just returns */
+    if (env_long("MOCK_RTLSDR_STALL", -1) == (long)d->idx && nblocks == 5)
+      usleep(500000);
     for (uint32_t i = 0; i < buf_len; ++i)
       buf[i] = (unsigned char)(d->idx * 37 + ((k + i) & 0x7f));
     cb(buf, buf_len, ctx);
     k += buf_len;
-    usleep(2000);
+    nblocks++;
+    usleep(env_long("MOCK_RTLSDR_FAST", -1) == (long)d->idx ? 200 : 2000);
   }
   free(buf);
   lg((int)d->idx, "read_async_exit", 0);

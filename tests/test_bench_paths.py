@@ -1,0 +1,96 @@
+"""Every bench.py path at tiny shapes on CPU — a broken bench can never be
+committed again (round-2 shipped an rc=1 bench crash from a fused-kernel
+arity change; VERDICT r3 weak #6). These do NOT measure performance, only
+that each path constructs, compiles, runs, and returns finite numbers."""
+
+import importlib.util
+import os
+import time
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # tiny shapes (fused kernels need L >= 2048 for the four-step split)
+    mod.N_CH = 3
+    mod.L = 2048
+    mod.T_BLOCKS = 4
+    mod.SCAN_K = 2
+    mod.SCAN_K_DEEP = 3
+
+    def _fast_best(call, n_batches=1, inner=1):
+        mod._sync(call())  # compile
+        t0 = time.perf_counter()
+        out = call()
+        mod._sync(out)
+        return time.perf_counter() - t0
+
+    mod._best = _fast_best
+    return mod
+
+
+def _finite_positive(v):
+    return np.isfinite(v) and v > 0
+
+
+class TestBenchPaths:
+    def test_offline_xla(self, bench):
+        assert _finite_positive(bench.bench_offline())
+
+    def test_offline_fused(self, bench):
+        assert _finite_positive(bench.bench_offline(**bench.FUSED))
+
+    def test_streaming_scan_xla(self, bench):
+        assert _finite_positive(bench.bench_streaming_scan())
+
+    def test_streaming_scan_fused(self, bench):
+        assert _finite_positive(bench.bench_streaming_scan(**bench.FUSED))
+
+    def test_streaming_single_fused(self, bench):
+        assert _finite_positive(
+            bench.bench_streaming_single(n_iters=2, **bench.FUSED)
+        )
+
+    def test_dispatch_floor(self, bench):
+        assert _finite_positive(bench.bench_dispatch_floor())
+
+    def test_sharded_1x1(self, bench):
+        assert _finite_positive(bench.bench_sharded_1x1())
+
+    def test_sharded_fused_1x1(self, bench):
+        assert _finite_positive(bench.bench_sharded_fused_1x1())
+
+    def test_quality(self, bench):
+        phase_rms, lag_rms = bench.bench_quality(n_blocks=6)
+        assert np.isfinite(phase_rms) and np.isfinite(lag_rms)
+        # tiny synthetic run through the full fused path still locks on
+        assert lag_rms < 1.0
+
+    def test_server_path(self, bench):
+        from coherent_rtlsdr_tpu import native
+
+        if not native.available():
+            pytest.skip("native library not built")
+        fps, sps = bench.bench_server(n_blocks=4, warmup=2)
+        assert _finite_positive(fps) and _finite_positive(sps)
+
+    def test_trace_flag_without_dir_errors_cleanly(self, bench):
+        import subprocess
+        import sys
+
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--trace"],
+            capture_output=True, text=True, cwd=REPO, timeout=60,
+        )
+        assert r.returncode == 2  # argparse usage error, not a traceback
+        assert "expected one argument" in r.stderr

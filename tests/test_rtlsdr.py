@@ -503,6 +503,283 @@ class TestConsoleInventory:
         assert "'MOCKREF0'" in out and "'MOCK0003'" in out
 
 
+def _pattern_ok(chan_bytes_row, dev_idx, seq):
+    """True iff a channel row carries exactly the mock device's capture
+    block `seq` (1-based) — the data/seqnum consistency invariant."""
+    return np.array_equal(
+        chan_bytes_row, _pattern(dev_idx, (seq - 1) * CHAN_BYTES, CHAN_BYTES)
+    )
+
+
+class TestPerChannelSeqnums:
+    """Per-device capture seqnums through the native ring — the reference's
+    per-device readcnt (src/crtlsdr.cc:181-188, cpacketizer.cc:142): one
+    dongle's FIFO drop gaps exactly that channel, and every channel's bytes
+    always correspond to its own seqnum (no silent skew)."""
+
+    def test_fast_device_gaps_only_its_channel(self, call_log):
+        os.environ["MOCK_RTLSDR_FAST"] = "2"  # MOCK0002 streams 10x faster
+        try:
+            ring = native.NativeBlockRing(64, 3 * CHAN_BYTES, n_seq=3)
+            cap = _start(ring, ["MOCKREF0", "MOCK0001", "MOCK0002"])
+            frames = []
+            try:
+                deadline = time.time() + 30
+                while len(frames) < 40 and time.time() < deadline:
+                    out = ring.pop_n(timeout_ms=5000)
+                    if out is not None:
+                        frames.append(out)
+            finally:
+                dropped = cap.dropped
+                cap.stop()
+        finally:
+            os.environ.pop("MOCK_RTLSDR_FAST", None)
+        assert len(frames) >= 40
+        seqs = np.array([f[1] for f in frames])  # [T, 3] uint64
+        # ref + slow channel: contiguous capture order
+        for t in (0, 1):
+            assert (np.diff(seqs[:, t]) == 1).all(), seqs[:, t]
+        # fast channel: strictly increasing WITH at least one drop gap
+        d2 = np.diff(seqs[:, 2].astype(np.int64))
+        assert (d2 >= 1).all()
+        assert (d2 > 1).any(), "fast channel's FIFO never overflowed"
+        assert dropped > 0
+        # data/seqnum consistency on every channel of every frame
+        for buf, s, _ts in frames:
+            frame = buf.reshape(3, CHAN_BYTES)
+            for slot, idx in ((0, 0), (1, 1), (2, 2)):
+                assert _pattern_ok(frame[slot], idx, int(s[slot])), (
+                    slot, int(s[slot]))
+
+    def test_stalled_device_never_skews_others(self, call_log):
+        """A device going silent for 500 ms abandons frames (two-pass
+        assembly) instead of silently consuming the healthy channels —
+        afterwards every channel's bytes still match its seqnum."""
+        os.environ["MOCK_RTLSDR_STALL"] = "1"  # MOCK0001 stalls at block 6
+        try:
+            ring = native.NativeBlockRing(256, 3 * CHAN_BYTES, n_seq=3)
+            cap = _start(ring, ["MOCKREF0", "MOCK0001", "MOCK0002"])
+            frames = []
+            try:
+                deadline = time.time() + 30
+                while len(frames) < 30 and time.time() < deadline:
+                    out = ring.pop_n(timeout_ms=5000)
+                    if out is not None:
+                        frames.append(out)
+                stalls = cap.stalls
+            finally:
+                cap.stop()
+        finally:
+            os.environ.pop("MOCK_RTLSDR_STALL", None)
+        assert len(frames) >= 30
+        assert stalls >= 1, "500 ms stall never abandoned a frame"
+        for buf, s, _ts in frames:
+            frame = buf.reshape(3, CHAN_BYTES)
+            for slot in (0, 1, 2):
+                assert _pattern_ok(frame[slot], slot, int(s[slot])), (
+                    slot, int(s[slot]))
+        seqs = np.array([f[1] for f in frames]).astype(np.int64)
+        assert (np.diff(seqs, axis=0) >= 1).all()
+
+    def test_usb_death_reports_not_running(self, call_log):
+        """read_async returning on its own (USB death) must flip
+        `running` to False once every device thread has exited."""
+        os.environ["MOCK_RTLSDR_DIE_AFTER"] = "3"
+        try:
+            ring = native.NativeBlockRing(64, 2 * CHAN_BYTES, n_seq=2)
+            cap = _start(ring, ["MOCKREF0", "MOCK0001"])
+            try:
+                deadline = time.time() + 10
+                while cap.running and time.time() < deadline:
+                    time.sleep(0.02)
+                assert not cap.running, "dead capture still reports running"
+            finally:
+                cap.stop()
+        finally:
+            os.environ.pop("MOCK_RTLSDR_DIE_AFTER", None)
+
+
+class TestHotPlug:
+    """Native add/del of a RUNNING capture (console.cc:225-270 semantics)."""
+
+    def test_set_fs_reaches_all_dongles(self, call_log):
+        ring = native.NativeBlockRing(64, 2 * CHAN_BYTES, n_seq=2)
+        cap = _start(ring, ["MOCKREF0", "MOCK0001"])
+        try:
+            deadline = time.time() + 10
+            while cap.pushed < 1 and time.time() < deadline:
+                time.sleep(0.01)
+            mark = len(_parse(call_log))
+            assert cap.set_fs(1.024e6) == 0
+            entries = _parse(call_log)[mark:]
+            for idx in (0, 1):
+                args = dict(_calls_for(entries, idx))
+                assert args["set_sample_rate"] == 1024000
+        finally:
+            cap.stop()
+
+    def test_hot_add_streams_and_remove_shifts(self, call_log):
+        ring = native.NativeBlockRing(64, 4 * CHAN_BYTES, n_seq=4)
+        cap = _start(ring, ["MOCKREF0", "MOCK0001"])
+        try:
+            # before the add: slots 2..3 are u8-zero padding with seq 0
+            out = ring.pop_n(timeout_ms=10000)
+            assert out is not None
+            buf, seqs, _ = out
+            frame = buf.reshape(4, CHAN_BYTES)
+            assert (frame[2] == 0x80).all() and (frame[3] == 0x80).all()
+            assert seqs[2] == 0 and seqs[3] == 0
+
+            idx = cap.add("MOCK0002", gain_db=21.0)
+            assert idx == 2
+            assert cap.capture_serials() == ["MOCKREF0", "MOCK0001",
+                                             "MOCK0002"]
+            entries = _parse(call_log)
+            args = dict(_calls_for(entries, 2))
+            fns = [fn for fn, _ in _calls_for(entries, 2)]
+            # full order-sensitive open sequence ran on the new dongle
+            assert fns.index("set_dithering") < fns.index("set_center_freq")
+            assert args["set_tuner_gain"] == 210
+            # its channel starts streaming its own pattern with seq from 1
+            deadline = time.time() + 10
+            got = None
+            while got is None and time.time() < deadline:
+                out = ring.pop_n(timeout_ms=5000)
+                if out is None:
+                    continue
+                buf, seqs, _ = out
+                if seqs[2] >= 1:
+                    got = (buf.reshape(4, CHAN_BYTES), seqs)
+            assert got is not None, "hot-added channel never streamed"
+            frame, seqs = got
+            assert _pattern_ok(frame[2], 2, int(seqs[2]))
+
+            # remove the MIDDLE device: remaining channels shift down a slot
+            mark = len(_parse(call_log))
+            assert cap.remove("MOCK0001") == 1
+            assert cap.capture_serials() == ["MOCKREF0", "MOCK0002"]
+            fns = [fn for fn, _ in _calls_for(_parse(call_log)[mark:], 1)]
+            assert "cancel_async" in fns and "close" in fns
+            deadline = time.time() + 10
+            shifted = False
+            while not shifted and time.time() < deadline:
+                out = ring.pop_n(timeout_ms=5000)
+                if out is None:
+                    continue
+                buf, seqs, _ = out
+                frame = buf.reshape(4, CHAN_BYTES)
+                if _pattern_ok(frame[1], 2, int(seqs[1])):
+                    shifted = True  # MOCK0002 now occupies slot 1
+                    assert (frame[2] == 0x80).all()
+            assert shifted
+        finally:
+            cap.stop()
+
+    def test_add_unknown_serial_fails_cleanly(self, call_log):
+        ring = native.NativeBlockRing(64, 3 * CHAN_BYTES, n_seq=3)
+        cap = _start(ring, ["MOCKREF0", "MOCK0001"])
+        try:
+            deadline = time.time() + 10
+            while cap.pushed < 1 and time.time() < deadline:
+                time.sleep(0.01)
+            assert cap.add("NO_SUCH") < 0
+            assert cap.capture_serials() == ["MOCKREF0", "MOCK0001"]
+            # capture keeps streaming
+            before = cap.pushed
+            deadline = time.time() + 10
+            while cap.pushed <= before and time.time() < deadline:
+                time.sleep(0.01)
+            assert cap.pushed > before
+        finally:
+            cap.stop()
+
+
+class TestConsoleToHardware:
+    """The console's runtime mutations reach the real dongles through the
+    RtlSource adapter — remote `fcenter`/`fs`/`add`/`del` produce the right
+    librtlsdr calls on the right devices (console.cc:156-270)."""
+
+    @pytest.fixture()
+    def server(self, call_log):
+        from coherent_rtlsdr_tpu.io.server import CoherentServer
+        from coherent_rtlsdr_tpu.pipeline import PipelineConfig
+        from coherent_rtlsdr_tpu.signal.sources import RtlSource
+
+        class FakePub:
+            def publish(self, *a, **k):
+                return 0
+
+            def close(self):
+                pass
+
+        class FakeCtl:
+            def poll(self, cb):
+                pass
+
+        src = RtlSource.start(
+            ["MOCKREF0", "MOCK0001", "MOCK0002"], block_len=L,
+            max_channels=3, fs=2.048e6, fcenter=1024e6,
+        )
+        srv = CoherentServer(
+            PipelineConfig(n_channels=2, block_len=L), src,
+            publisher=FakePub(), control=FakeCtl(), max_channels=3,
+        )
+        deadline = time.time() + 10
+        while src.capture.pushed < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        yield srv
+        src.stop()
+
+    def test_remote_fcenter_retunes_every_dongle(self, server, call_log):
+        mark = len(_parse(call_log))
+        out = server.dispatcher.dispatch("fcenter 868000000")
+        assert out == "fcenter set to 868000000"
+        assert server.fcenter == 868000000
+        entries = _parse(call_log)[mark:]
+        for idx in (0, 1, 2):
+            fns = [fn for fn, _ in _calls_for(entries, idx)]
+            assert fns.index("set_dithering") < fns.index("set_center_freq")
+            assert dict(_calls_for(entries, idx))["set_center_freq"] == 868000000
+
+    def test_remote_fs_sets_rate_and_resyncs(self, server, call_log):
+        mark = len(_parse(call_log))
+        out = server.dispatcher.dispatch("fs 1024000")
+        assert out == "fs set to 1024000"
+        entries = _parse(call_log)[mark:]
+        for idx in (0, 1, 2):
+            assert dict(_calls_for(entries, idx))["set_sample_rate"] == 1024000
+        assert server._resync_requested  # fs change forces resync
+        assert server.fs == 1024000
+
+    def test_remote_add_del_hotplug_real_dongles(self, server, call_log):
+        mark = len(_parse(call_log))
+        out = server.dispatcher.dispatch("add MOCK0003")
+        assert out == "added 'MOCK0003' as channel 3"
+        assert server.n_active == 3
+        assert server.source.serials == ["MOCK0001", "MOCK0002", "MOCK0003"]
+        fns = [fn for fn, _ in _calls_for(_parse(call_log)[mark:], 3)]
+        assert "open" in fns and "read_async" in fns
+        assert fns.index("set_dithering") < fns.index("set_center_freq")
+
+        mark = len(_parse(call_log))
+        out = server.dispatcher.dispatch("del MOCK0001")
+        assert out == "deleted 'MOCK0001'"
+        assert server.n_active == 2
+        assert server.source.serials == ["MOCK0002", "MOCK0003"]
+        fns = [fn for fn, _ in _calls_for(_parse(call_log)[mark:], 1)]
+        assert "cancel_async" in fns and "close" in fns
+
+    def test_del_reference_refused(self, server, call_log):
+        out = server.dispatcher.dispatch("del MOCKREF0")
+        assert "no such channel" in out
+        assert server.source.capture.capture_serials()[0] == "MOCKREF0"
+
+    def test_add_bad_serial_reports_failure(self, server, call_log):
+        out = server.dispatcher.dispatch("add GHOST")
+        assert "failed" in out
+        assert server.n_active == 2
+
+
 class TestFailurePaths:
     def test_unknown_serial_aborts_with_error(self, call_log):
         ring = native.NativeBlockRing(64, 2 * CHAN_BYTES)
