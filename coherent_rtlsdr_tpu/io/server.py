@@ -291,138 +291,193 @@ class CoherentServer:
 
         With ``scan_depth > 1`` the loop gathers that many source blocks and
         runs them through one lax.scan dispatch (pipeline/drivers.py) —
-        amortizing device round-trip latency — then publishes each frame.
+        amortizing device round-trip latency.
+
+        Publishing is PIPELINED: batch k's int8 outputs are fetched from
+        the device and ZMQ-published by a worker thread while the main
+        thread gathers/uploads/dispatches batch k+1 — the reference's
+        double-buffered packetizer handoff (its DSP thread write()s one
+        buffer while the publisher thread send()s the other,
+        cpacketizer.cc:109-185). A single worker draining a FIFO queue
+        preserves frame order; the queue bound caps device-resident output
+        batches. On the way in, the upload of batch k+1 overlaps the
+        worker's fetch of batch k (the two host<->device directions
+        pipeline), which matters on every transport (PCIe included).
         """
+        import queue as _queue
+        import threading
+
         jnp = self._jnp
-        n = 0
-        while not self._do_exit:
-            if max_blocks is not None and n >= max_blocks:
-                break
+        # ref-channel wire seqnum base: blocks processed so far (the state's
+        # block_idx, fetched ONCE — per-frame fetches would serialize the
+        # pipeline on a device sync)
+        base = int(np.asarray(self.state.block_idx))
+        pubq: _queue.Queue = _queue.Queue(maxsize=2)
+        pub_err = []
+        published = [0]
 
-            if self._resync_requested:
-                self.state = self.state.replace(
-                    synced=jnp.zeros_like(self.state.synced)
-                )
-                self._resync_requested = False
+        def pub_worker():
+            while True:
+                item = pubq.get()
+                if item is None:
+                    return
+                try:
+                    published[0] += self._publish_batch(**item)
+                except Exception as e:
+                    pub_err.append(e)
+                    return
 
-            gate = jnp.array(self.refnoise_enabled)
-            k = 1
-            if self._scan is not None:
-                k = self.scan_depth
-                if max_blocks is not None:
-                    k = min(k, max_blocks - n)
-            blocks = []
-            for _ in range(k):
-                blk = self.source.next_block()
-                if blk is None:
+        worker = threading.Thread(
+            target=pub_worker, name="publisher", daemon=True
+        )
+        worker.start()
+
+        def qput(item) -> bool:
+            # bounded put that can't deadlock against a worker that died
+            # mid-publish (its error is re-raised after the loop)
+            while not pub_err:
+                try:
+                    pubq.put(item, timeout=0.2)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
+
+        dispatched = 0
+        try:
+            while not self._do_exit and not pub_err:
+                if max_blocks is not None and dispatched >= max_blocks:
                     break
-                blocks.append(blk)
-            if not blocks:
-                break
 
-            na = self.n_active
-            n_jit = self.cfg.n_channels
-            L = self.cfg.block_len
-            if self._scan is not None and len(blocks) > 1:
-                padded = [self._padded(b[0], b[2]) for b in blocks]
-                # synthetic seqnums for pad rows advance per block in the
-                # micro-batch so inactive rows never see phantom gaps
-                for i, (sp, sq) in enumerate(padded):
-                    sq[na:] = np.uint32(self._blocks_done + i + 1)
-                sigs = np.stack([p[0] for p in padded])
-                refs = np.stack([b[1] for b in blocks])
-                if self._flat:
-                    sigs = sigs.reshape(len(blocks), n_jit, -1)
-                    refs = refs.reshape(len(blocks), -1)
-                sigs = jnp.asarray(sigs)
-                refs = jnp.asarray(refs)
-                seqs = jnp.asarray(np.stack([p[1] for p in padded]))
-                self.state, (wire_sigs, wire_refs), telem = self._scan(
-                    self.state, sigs, refs, gate, seqs
-                )
-                ws = np.asarray(wire_sigs).reshape(len(blocks), n_jit, L, 2)
-                wr = np.asarray(wire_refs).reshape(len(blocks), L, 2)
-                ph = np.asarray(telem.phase, np.float32)
-                tl = {
-                    k: np.asarray(getattr(telem, k))
-                    for k in ("lag", "residual", "mag", "gap")
-                }
-                base_idx = int(np.asarray(self.state.block_idx)) - len(blocks)
-                for i, (_, _, seqnums) in enumerate(blocks):
-                    frame = np.concatenate([wr[i][None], ws[i][:na]], axis=0)
-                    ref_seq = np.asarray([base_idx + i + 1], np.uint32)
-                    all_seq = np.concatenate([ref_seq, seqnums.astype(np.uint32)])
-                    phases = np.concatenate(
-                        [
-                            np.ones(1, np.complex64),
-                            (ph[i, :na, 0] + 1j * ph[i, :na, 1]).astype(
-                                np.complex64
-                            ),
-                        ]
+                if self._resync_requested:
+                    self.state = self.state.replace(
+                        synced=jnp.zeros_like(self.state.synced)
                     )
-                    self.publisher.publish(frame, all_seq, phases)
-                    self._record_block(
-                        phases[1:], tl["lag"][i][:na], tl["residual"][i][:na],
-                        tl["mag"][i][:na], tl["gap"][i][:na],
-                    )
-                    n += 1
-                    self._blocks_done += 1
-            else:
-                for sig_u8, ref_u8, seqnums in blocks:
-                    sp, sq = self._padded(sig_u8, seqnums)
+                    self._resync_requested = False
+
+                gate = jnp.array(self.refnoise_enabled)
+                k = 1
+                if self._scan is not None:
+                    k = self.scan_depth
+                    if max_blocks is not None:
+                        k = min(k, max_blocks - dispatched)
+                blocks = []
+                for _ in range(k):
+                    blk = self.source.next_block()
+                    if blk is None:
+                        break
+                    blocks.append(blk)
+                if not blocks:
+                    break
+
+                na = self.n_active
+                n_jit = self.cfg.n_channels
+                if self._scan is not None and len(blocks) > 1:
+                    padded = [self._padded(b[0], b[2]) for b in blocks]
+                    # synthetic seqnums for pad rows advance per block in the
+                    # micro-batch so inactive rows never see phantom gaps
+                    for i, (sp, sq) in enumerate(padded):
+                        sq[na:] = np.uint32(self._blocks_done + i + 1)
+                    sigs = np.stack([p[0] for p in padded])
+                    refs = np.stack([b[1] for b in blocks])
                     if self._flat:
-                        sp = sp.reshape(n_jit, -1)
-                        ref_u8 = np.asarray(ref_u8).reshape(-1)
-                    self.state, wire_sig, wire_ref, telem = self._step(
-                        self.state, jnp.asarray(sp), jnp.asarray(ref_u8),
-                        gate, jnp.asarray(sq),
+                        sigs = sigs.reshape(len(blocks), n_jit, -1)
+                        refs = refs.reshape(len(blocks), -1)
+                    sigs = jnp.asarray(sigs)
+                    refs = jnp.asarray(refs)
+                    seqs = jnp.asarray(np.stack([p[1] for p in padded]))
+                    self.state, (wire_sigs, wire_refs), telem = self._scan(
+                        self.state, sigs, refs, gate, seqs
                     )
-                    # Frame layout: channel 0 = reference (cpacketizer write
-                    # order, ccoherent.cc:253). Phases on the debug port.
-                    frame = np.concatenate(
-                        [np.asarray(wire_ref).reshape(1, L, 2),
-                         np.asarray(wire_sig).reshape(n_jit, L, 2)[:na]],
-                        axis=0,
+                    qput(dict(
+                        wire_sigs=wire_sigs, wire_refs=wire_refs, telem=telem,
+                        seqnums=[b[2] for b in blocks], na=na, base=base,
+                    ))
+                else:
+                    for j, (sig_u8, ref_u8, seqnums) in enumerate(blocks):
+                        sp, sq = self._padded(sig_u8, seqnums)
+                        if self._flat:
+                            sp = sp.reshape(n_jit, -1)
+                            ref_u8 = np.asarray(ref_u8).reshape(-1)
+                        self.state, wire_sig, wire_ref, telem = self._step(
+                            self.state, jnp.asarray(sp), jnp.asarray(ref_u8),
+                            gate, jnp.asarray(sq),
+                        )
+                        if not qput(dict(
+                            wire_sigs=wire_sig, wire_refs=wire_ref,
+                            telem=telem, seqnums=[seqnums], na=na,
+                            base=base + j,
+                        )):
+                            break
+                base += len(blocks)
+                dispatched += len(blocks)
+                self._blocks_done += len(blocks)
+                self._poll_control()
+                if self.hw_relief is not None:
+                    self.hw_relief.tick(
+                        np.asarray(self.state.delay)[: self.n_active]
                     )
-                    ref_seq = np.asarray(self.state.block_idx, np.uint32).reshape(1)
-                    all_seq = np.concatenate([ref_seq, seqnums.astype(np.uint32)])
-                    phases = np.concatenate(
-                        [np.ones(1, np.complex64), self._fetch_phases(telem)[:na]]
-                    )
-                    self.publisher.publish(frame, all_seq, phases)
-                    self._record_block(
-                        phases[1:],
-                        np.asarray(telem.lag)[:na],
-                        np.asarray(telem.residual)[:na],
-                        np.asarray(telem.mag)[:na],
-                        np.asarray(telem.gap)[:na],
-                    )
-                    n += 1
-                    self._blocks_done += 1
-            self._poll_control()
-            if self.hw_relief is not None:
-                self.hw_relief.tick(
-                    np.asarray(self.state.delay)[: self.n_active]
-                )
+        finally:
+            if pub_err:
+                pubq.queue.clear()  # worker is gone; nothing drains these
+            pubq.put(None)
+            worker.join()
+        if pub_err:
+            raise pub_err[0]
         if self.hw_relief is not None:
             self.hw_relief.stop()
         if self.state_path:
             self.save_state()
-        return n
+        return published[0]
+
+    def _publish_batch(
+        self, wire_sigs, wire_refs, telem, seqnums, na, base
+    ) -> int:
+        """Fetch one dispatched batch's int8 outputs and publish every
+        frame (runs on the publisher worker thread). Frame layout: channel
+        0 = reference (cpacketizer write order, ccoherent.cc:253); phases
+        go out on the debug port. Returns frames published."""
+        L = self.cfg.block_len
+        n_jit = self.cfg.n_channels
+        T = len(seqnums)
+        ws = np.asarray(wire_sigs).reshape(T, n_jit, L, 2)
+        wr = np.asarray(wire_refs).reshape(T, L, 2)
+        ph = np.asarray(telem.phase, np.float32).reshape(T, n_jit, 2)
+        tl = {
+            k: np.asarray(getattr(telem, k)).reshape(T, n_jit)
+            for k in ("lag", "residual", "mag", "gap")
+        }
+        for i, seq in enumerate(seqnums):
+            frame = np.concatenate([wr[i][None], ws[i][:na]], axis=0)
+            ref_seq = np.asarray([base + i + 1], np.uint32)
+            all_seq = np.concatenate([ref_seq, seq.astype(np.uint32)])
+            phases = np.concatenate([
+                np.ones(1, np.complex64),
+                (ph[i, :na, 0] + 1j * ph[i, :na, 1]).astype(np.complex64),
+            ])
+            self.publisher.publish(frame, all_seq, phases)
+            self._record_block(
+                phases[1:], tl["lag"][i][:na], tl["residual"][i][:na],
+                tl["mag"][i][:na], tl["gap"][i][:na], block_idx=base + i + 1,
+            )
+        return T
 
     def _fetch_phases(self, telem) -> np.ndarray:
         p = np.asarray(telem.phase, np.float32)  # [N, 2] (re, im)
         return (p[..., 0] + 1j * p[..., 1]).astype(np.complex64)
 
-    def _record_block(self, phases, lag, residual, mag, gap) -> None:
-        """Per-block observability: telemetry ring + gap-event log lines."""
+    def _record_block(self, phases, lag, residual, mag, gap,
+                      block_idx: int = -1) -> None:
+        """Per-block observability: telemetry ring + gap-event log lines.
+        Runs on the publisher worker; must not touch self.state (a device
+        fetch there would serialize the publish pipeline on the dispatch
+        in flight)."""
         self.telemetry.record(phase=phases, lag=lag, residual=residual, mag=mag)
         if gap.any():
             chans = np.nonzero(gap)[0]
             logger.warning(
                 "seqnum gap on channel(s) %s at block %d — desynced",
-                ",".join(str(int(c)) for c in chans),
-                int(np.asarray(self.state.block_idx)),
+                ",".join(str(int(c)) for c in chans), block_idx,
             )
 
     def _poll_control(self) -> None:
@@ -500,7 +555,10 @@ class CoherentServer:
             )
         drift = t.phase_drift_deg_rms()
         if drift == drift:
-            lines.append(f"phase drift: {drift:.2f} deg RMS over {len(t._data['phase'])} blocks")
+            lines.append(
+                f"phase drift: {drift:.2f} deg RMS over "
+                f"{t.n_recorded('phase')} blocks"
+            )
         lines.append(f"seqnum gaps: {int(gaps.sum())} total")
         cells = [
             f"ch{i}:{lag[i]:+4.3f}:{mag[i]:4.3f}" for i in range(len(synced))

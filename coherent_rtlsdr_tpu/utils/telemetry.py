@@ -7,6 +7,7 @@ commands, plus wall-clock throughput counters for the bench harness.
 """
 
 import collections
+import threading
 import time
 from typing import Deque, Dict, Optional
 
@@ -41,25 +42,37 @@ class TelemetryRecorder:
     Keeps the last ``window`` blocks of each named series; ``summary()``
     renders the status-style table, ``history(name)`` returns [W, ...] for
     the phase-drift analysis the reference does in MATLAB
-    (phasecorrectionplot.m)."""
+    (phasecorrectionplot.m).
+
+    Thread-safe: the streaming server records from its publisher worker
+    thread while the console (main thread) reads `status`/`phase`."""
 
     def __init__(self, window: int = 1024):
         self._window = window
         self._data: Dict[str, Deque[np.ndarray]] = collections.defaultdict(
             lambda: collections.deque(maxlen=window)
         )
+        self._lock = threading.Lock()
         self.timer = BlockTimer()
 
     def record(self, **series: np.ndarray) -> None:
-        self.timer.tick()
-        for k, v in series.items():
-            self._data[k].append(np.asarray(v))
+        with self._lock:
+            self.timer.tick()
+            for k, v in series.items():
+                self._data[k].append(np.asarray(v))
 
     def history(self, name: str) -> np.ndarray:
-        return np.stack(self._data[name]) if self._data[name] else np.zeros((0,))
+        with self._lock:
+            d = list(self._data[name])
+        return np.stack(d) if d else np.zeros((0,))
 
     def last(self, name: str) -> Optional[np.ndarray]:
-        return self._data[name][-1] if self._data[name] else None
+        with self._lock:
+            return self._data[name][-1] if self._data[name] else None
+
+    def n_recorded(self, name: str) -> int:
+        with self._lock:
+            return len(self._data[name])
 
     def phase_drift_deg_rms(self) -> float:
         """Residual phase stability over the window — the

@@ -429,3 +429,72 @@ class TestHotPlugPadded:
             np.asarray(srv.state.delay)[:3], truth.delays, atol=0.1
         )
         assert bool(np.all(np.asarray(srv.state.synced)[:3]))
+
+
+class TestPipelinedPublish:
+    """The publisher-worker handoff (the reference's double-buffered
+    packetizer, cpacketizer.cc:109-185): fetch+publish of batch k overlaps
+    dispatch of batch k+1 — frame order, ref seqnums, and per-channel
+    seqnums must survive the handoff in both scan and single-block modes."""
+
+    def _run(self, scan_depth, n_blocks=24):
+        truth = make_truth(3, seed=5, max_delay=20.0, snr_db=30.0)
+        src = SyntheticStreamSource(truth, block_len=L, slab_blocks=8, seed=5)
+        cfg = PipelineConfig(n_channels=3, block_len=L)
+        pub, ctl = FakePublisher(), FakeControl()
+        srv = CoherentServer(
+            cfg, src, publisher=pub, control=ctl, scan_depth=scan_depth
+        )
+        n = srv.run(max_blocks=n_blocks)
+        assert n == n_blocks
+        return pub
+
+    def _check_order(self, pub, n_blocks):
+        assert len(pub.frames) == n_blocks
+        ref_seqs = [int(seq[0]) for _, seq, _ in pub.frames]
+        # ref-channel wire seqnum: contiguous 1..T in publish order
+        assert ref_seqs == list(range(1, n_blocks + 1))
+        for ch in range(1, 4):
+            chs = [int(seq[ch]) for _, seq, _ in pub.frames]
+            assert chs == list(range(1, n_blocks + 1)), (ch, chs)
+        for iq, _, ph in pub.frames:
+            assert iq.shape == (4, L, 2)
+            assert ph is not None and ph[0] == 1.0 + 0j
+
+    def test_scan_mode_ordering(self):
+        self._check_order(self._run(scan_depth=8), 24)
+
+    def test_single_block_ordering(self):
+        self._check_order(self._run(scan_depth=1), 24)
+
+    def test_publish_error_surfaces_in_run(self):
+        class BoomPub(FakePublisher):
+            def publish(self, *a, **k):
+                if len(self.frames) >= 3:
+                    raise RuntimeError("zmq send failed")
+                return super().publish(*a, **k)
+
+        truth = make_truth(2, seed=6, max_delay=20.0, snr_db=30.0)
+        src = SyntheticStreamSource(truth, block_len=L, slab_blocks=8, seed=6)
+        cfg = PipelineConfig(n_channels=2, block_len=L)
+        srv = CoherentServer(
+            cfg, src, publisher=BoomPub(), control=FakeControl(),
+            scan_depth=2,
+        )
+        with pytest.raises(RuntimeError, match="zmq send failed"):
+            srv.run(max_blocks=16)
+
+    def test_resume_after_run_keeps_ref_seq_contiguous(self):
+        """base ref seq is re-derived from state.block_idx at each run()
+        start (bench warmup + measure calls run() twice)."""
+        truth = make_truth(2, seed=7, max_delay=20.0, snr_db=30.0)
+        src = SyntheticStreamSource(truth, block_len=L, slab_blocks=8, seed=7)
+        cfg = PipelineConfig(n_channels=2, block_len=L)
+        pub = FakePublisher()
+        srv = CoherentServer(
+            cfg, src, publisher=pub, control=FakeControl(), scan_depth=4
+        )
+        assert srv.run(max_blocks=8) == 8
+        assert srv.run(max_blocks=8) == 8
+        ref_seqs = [int(seq[0]) for _, seq, _ in pub.frames]
+        assert ref_seqs == list(range(1, 17))
