@@ -126,6 +126,43 @@ def bench_streaming_scan(scan_k=SCAN_K, **cfg_kw):
     return N_CH * L / dt
 
 
+def bench_streaming_scan_pipelined(scan_k=SCAN_K, chain=8, **cfg_kw):
+    """Streaming throughput when the consumer syncs OFF the critical path —
+    the pipelined server's dispatch pattern (io/server.py run: the main
+    thread never syncs; the publisher worker fetches): `chain` scan-K
+    dispatches issued back-to-back, state-chained, ONE sync at the end.
+    On a claim where dispatches overlap (dispatch_issue_ms << serial —
+    round-4 probe) this approaches the work-limited rate AT scan-K latency,
+    instead of paying the per-sync RTT 'floor' every batch. Measures the
+    dispatch+compute capacity; the end-to-end tunnel-bound number is
+    server_samples_per_s."""
+    cfg = PipelineConfig(n_channels=N_CH, block_len=L, **cfg_kw)
+    sig, ref = _inputs(scan_k, flat=cfg.fft_impl == "fused")
+    gate = jnp.array(True)
+
+    def scan_fn(state, sigs, refs):
+        def body(s, blk):
+            s2, out = step(cfg, s, blk[0], blk[1], gate)
+            wire = out.wire if out.wire is not None else c64_to_i8_iq(out.aligned)
+            return s2, (wire, out.telemetry.residual)
+        return jax.lax.scan(body, state, (sigs, refs))
+
+    run = jax.jit(scan_fn)
+    state = init_state(cfg)
+    s, outs = run(state, sig, ref)
+    _sync(outs)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = state
+        outs = None
+        for _ in range(chain):
+            s, outs = run(s, sig, ref)
+        _sync(outs)
+        best = min(best, (time.perf_counter() - t0) / (chain * scan_k))
+    return N_CH * L / best
+
+
 def bench_streaming_single(n_iters=16, **cfg_kw):
     cfg = PipelineConfig(n_channels=N_CH, block_len=L, **cfg_kw)
     sig, ref = _inputs(flat=cfg.fft_impl == "fused")
@@ -184,6 +221,39 @@ def bench_dispatch_floor(scan_k=SCAN_K):
     x = jnp.zeros((8,), jnp.float32)
     dt = _best(lambda: run(x))
     return dt * 1e3
+
+
+def bench_dispatch_pipelining(reps=8):
+    """Whether back-to-back jit calls overlap on THIS claim (round-4 probe,
+    tools/probe_dispatch.py): returns (issue_ms, serial_ms, burst_ms).
+    issue << serial and burst << serial mean the per-sync RTT — not the
+    dispatch — is the streaming 'floor', and a consumer that syncs off the
+    critical path (the pipelined server / bench_streaming_single's
+    sync-at-end loop) runs at ~issue+work per block."""
+    @jax.jit
+    def work(x):
+        def body(c, _):
+            return c @ c * 1e-3 + x, ()
+        c, _ = jax.lax.scan(body, x, None, length=50)
+        return c
+
+    x = jnp.asarray(np.eye(512, dtype=np.float32))
+    _sync(work(x))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _sync(work(x))
+    serial = (time.perf_counter() - t0) / reps
+    t0 = time.perf_counter()
+    r = None
+    for _ in range(reps):
+        r = work(x)
+    _sync(r)
+    burst = (time.perf_counter() - t0) / reps
+    t0 = time.perf_counter()
+    r = work(x)
+    issue = time.perf_counter() - t0
+    _sync(r)
+    return issue * 1e3, serial * 1e3, burst * 1e3
 
 
 def bench_sharded_1x1():
@@ -276,7 +346,8 @@ def bench_server(n_blocks=160, warmup=40):
     with tempfile.NamedTemporaryFile(suffix=".raw", delete=False) as f:
         f.write(rng.integers(0, 256, 32 * block_bytes, dtype=np.uint8).tobytes())
         path = f.name
-    ring = native.NativeBlockRing(128, block_bytes)
+    # per-channel seqnum ring — the production rtlsdr ingest path
+    ring = native.NativeBlockRing(128, block_bytes, n_seq=N_CH + 1)
     producer = native.NativeProducer.file(ring, path, loop=True)
     source = RingSource(ring, n_channels=N_CH, block_len=L, timeout_ms=10000)
     server = CoherentServer(
@@ -315,7 +386,10 @@ def main():
         scan_fused = bench_streaming_scan(**FUSED)
         scan_deep_fused = bench_streaming_scan(scan_k=SCAN_K_DEEP, **FUSED)
         scan8_fused = bench_streaming_scan(scan_k=8, **FUSED)
+        scan32_pipelined = bench_streaming_scan_pipelined(**FUSED)
+        scan8_pipelined = bench_streaming_scan_pipelined(scan_k=8, **FUSED)
         floor_ms = bench_dispatch_floor()
+        issue_ms, serial_ms, burst_ms = bench_dispatch_pipelining()
         offline = bench_offline()
         scan = bench_streaming_scan()
         single = bench_streaming_single(**FUSED)
@@ -324,7 +398,7 @@ def main():
         phase_rms, lag_rms = bench_quality()
         server_fps, server_sps = bench_server()
     best_off = max(offline, offline_fused)
-    best_scan = max(scan, scan_fused)
+    best_scan = max(scan, scan_fused, scan32_pipelined)
     value = max(best_off, best_scan)
     print(
         json.dumps(
@@ -341,8 +415,17 @@ def main():
                     scan_deep_fused, 1
                 ),
                 "streaming_scan8_fused_samples_per_s": round(scan8_fused, 1),
+                "streaming_scan32_pipelined_samples_per_s": round(
+                    scan32_pipelined, 1
+                ),
+                "streaming_scan8_pipelined_samples_per_s": round(
+                    scan8_pipelined, 1
+                ),
                 "streaming_single_samples_per_s": round(single, 1),
                 "dispatch_floor_ms": round(floor_ms, 3),
+                "dispatch_issue_ms": round(issue_ms, 3),
+                "dispatch_serial_ms": round(serial_ms, 3),
+                "dispatch_burst_ms": round(burst_ms, 3),
                 "sharded_1x1_samples_per_s": round(sharded, 1),
                 "sharded_fused_samples_per_s": round(sharded_fused, 1),
                 "streaming_realtime_factor": round(

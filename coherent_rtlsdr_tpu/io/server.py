@@ -174,6 +174,8 @@ class CoherentServer:
         from coherent_rtlsdr_tpu.ops.convert import c64_to_i8_iq
         from coherent_rtlsdr_tpu.pipeline import step
 
+        from coherent_rtlsdr_tpu.pipeline.state import pack_telemetry
+
         def _step(state, sig_u8, ref_u8, gate, seq):
             new_state, out = step(cfg, state, sig_u8, ref_u8, gate, seq=seq)
             if out.wire is not None:  # fused path: int8 straight from kernel
@@ -181,7 +183,10 @@ class CoherentServer:
             else:
                 wire_sig = c64_to_i8_iq(out.aligned)    # [N, L, 2] int8
                 wire_ref = c64_to_i8_iq(out.ref)        # [L, 2] int8
-            return new_state, wire_sig, wire_ref, out.telemetry
+            # telemetry leaves travel packed: one output buffer + one fetch
+            # instead of nine (round-4 probe: ~0.4 ms/dispatch of the
+            # single-block burst rate was telemetry leaf overhead)
+            return new_state, wire_sig, wire_ref, pack_telemetry(out.telemetry)
 
         self.cfg = cfg
         self.n_jit_builds += 1
@@ -190,7 +195,9 @@ class CoherentServer:
         if self.scan_depth > 1:
             from coherent_rtlsdr_tpu.pipeline.drivers import make_scan_runner
 
-            self._scan = make_scan_runner(cfg, emit_wire=True, donate=True)
+            self._scan = make_scan_runner(
+                cfg, emit_wire=True, donate=True, pack_telem=True
+            )
 
     # ---- channel padding (hot-plug without recompile) --------------------
 
@@ -436,29 +443,34 @@ class CoherentServer:
         """Fetch one dispatched batch's int8 outputs and publish every
         frame (runs on the publisher worker thread). Frame layout: channel
         0 = reference (cpacketizer write order, ccoherent.cc:253); phases
-        go out on the debug port. Returns frames published."""
+        go out on the debug port. ``telem`` arrives as the packed
+        [.., N, 10] tensor (state.TELEMETRY_COLS) — one fetch. Returns
+        frames published."""
+        from coherent_rtlsdr_tpu.pipeline.state import TELEMETRY_COLS
+
         L = self.cfg.block_len
         n_jit = self.cfg.n_channels
         T = len(seqnums)
         ws = np.asarray(wire_sigs).reshape(T, n_jit, L, 2)
         wr = np.asarray(wire_refs).reshape(T, L, 2)
-        ph = np.asarray(telem.phase, np.float32).reshape(T, n_jit, 2)
-        tl = {
-            k: np.asarray(getattr(telem, k)).reshape(T, n_jit)
-            for k in ("lag", "residual", "mag", "gap")
-        }
+        tp = np.asarray(telem, np.float32).reshape(
+            T, n_jit, len(TELEMETRY_COLS)
+        )
+        col = {name: j for j, name in enumerate(TELEMETRY_COLS)}
         for i, seq in enumerate(seqnums):
             frame = np.concatenate([wr[i][None], ws[i][:na]], axis=0)
             ref_seq = np.asarray([base + i + 1], np.uint32)
             all_seq = np.concatenate([ref_seq, seq.astype(np.uint32)])
             phases = np.concatenate([
                 np.ones(1, np.complex64),
-                (ph[i, :na, 0] + 1j * ph[i, :na, 1]).astype(np.complex64),
+                (tp[i, :na, col["phase_re"]]
+                 + 1j * tp[i, :na, col["phase_im"]]).astype(np.complex64),
             ])
             self.publisher.publish(frame, all_seq, phases)
             self._record_block(
-                phases[1:], tl["lag"][i][:na], tl["residual"][i][:na],
-                tl["mag"][i][:na], tl["gap"][i][:na], block_idx=base + i + 1,
+                phases[1:], tp[i, :na, col["lag"]],
+                tp[i, :na, col["residual"]], tp[i, :na, col["mag"]],
+                tp[i, :na, col["gap"]] > 0, block_idx=base + i + 1,
             )
         return T
 
@@ -560,6 +572,13 @@ class CoherentServer:
                 f"{t.n_recorded('phase')} blocks"
             )
         lines.append(f"seqnum gaps: {int(gaps.sum())} total")
+        cap = getattr(self.source, "capture", None)
+        if cap is not None:  # rtlsdr source: native capture health counters
+            lines.append(
+                f"capture: {'RUNNING' if cap.running else 'STOPPED'}  "
+                f"frames {cap.pushed}  chan-drops {cap.dropped}  "
+                f"stalls {cap.stalls}"
+            )
         cells = [
             f"ch{i}:{lag[i]:+4.3f}:{mag[i]:4.3f}" for i in range(len(synced))
         ]

@@ -18,15 +18,23 @@ import jax
 import jax.numpy as jnp
 
 from coherent_rtlsdr_tpu.ops.convert import c64_to_i8_iq
-from coherent_rtlsdr_tpu.pipeline.state import PipelineConfig, PipelineState
+from coherent_rtlsdr_tpu.pipeline.state import (
+    PipelineConfig,
+    PipelineState,
+    pack_telemetry,
+)
 from coherent_rtlsdr_tpu.pipeline.step import step
 
 
-def make_scan_runner(cfg: PipelineConfig, emit_wire: bool = True, donate: bool = True):
+def make_scan_runner(cfg: PipelineConfig, emit_wire: bool = True,
+                     donate: bool = True, pack_telem: bool = False):
     """Returns jitted ``run(state, sig_u8 [K,N,L,2], ref_u8 [K,L,2], gate,
     seqs=None)`` -> ``(state, outputs)`` where outputs are stacked over K:
     int8 wire blocks (or raw aligned float pairs) + telemetry. ``seqs``
-    ([K, N] uint32) enables in-pipeline gap detection (see step())."""
+    ([K, N] uint32) enables in-pipeline gap detection (see step()).
+    ``pack_telem`` emits telemetry as ONE [K, N, 10] f32 tensor
+    (state.TELEMETRY_COLS) instead of the 9-leaf pytree — fewer output
+    buffers per dispatch, one host fetch for the consumer."""
 
     def scan_fn(state, sigs, refs, gate, seqs=None):
         def body(s, blk):
@@ -40,7 +48,9 @@ def make_scan_runner(cfg: PipelineConfig, emit_wire: bool = True, donate: bool =
                 from coherent_rtlsdr_tpu.ops.convert import c2f
 
                 payload = (c2f(out.aligned), c2f(out.ref))
-            return s2, (payload, out.telemetry)
+            telem = (pack_telemetry(out.telemetry) if pack_telem
+                     else out.telemetry)
+            return s2, (payload, telem)
 
         if seqs is None:
             seqs = (state.last_seq[None, :]

@@ -104,6 +104,31 @@ class Telemetry(struct.PyTreeNode):
         return self.phase[..., 0] + 1j * self.phase[..., 1]
 
 
+# Column order of ``pack_telemetry`` (one [.., N, 10] f32 tensor).
+TELEMETRY_COLS = (
+    "lag", "residual", "mag", "papr", "rms",
+    "phase_re", "phase_im", "synced", "gap", "gaps",
+)
+
+
+def pack_telemetry(t: Telemetry) -> jnp.ndarray:
+    """Telemetry as ONE dense [.., N, 10] f32 tensor (TELEMETRY_COLS order).
+
+    Per-dispatch overhead on this backend scales with the number of
+    argument/output buffers (~0.4 ms for the 9 telemetry leaves at the
+    round-4 probe), and the server's publisher worker fetches telemetry
+    every batch — one tensor means one transfer instead of nine. Bool
+    leaves travel as 0.0/1.0; ``gaps`` counts are exact in f32 up to 2^24.
+    """
+    return jnp.stack([
+        t.lag, t.residual, t.mag, t.papr, t.rms,
+        t.phase[..., 0], t.phase[..., 1],
+        t.synced.astype(jnp.float32),
+        t.gap.astype(jnp.float32),
+        t.gaps.astype(jnp.float32),
+    ], axis=-1)
+
+
 class BlockOutput(struct.PyTreeNode):
     """``aligned``/``ref`` are complex64 — valid INSIDE a jitted program and
     on CPU; TPU callers must reduce them to real dtypes (int8 wire format /

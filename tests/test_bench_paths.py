@@ -56,6 +56,11 @@ class TestBenchPaths:
     def test_streaming_scan_fused(self, bench):
         assert _finite_positive(bench.bench_streaming_scan(**bench.FUSED))
 
+    def test_streaming_scan_pipelined(self, bench):
+        assert _finite_positive(
+            bench.bench_streaming_scan_pipelined(chain=2, **bench.FUSED)
+        )
+
     def test_streaming_single_fused(self, bench):
         assert _finite_positive(
             bench.bench_streaming_single(n_iters=2, **bench.FUSED)
@@ -63,6 +68,10 @@ class TestBenchPaths:
 
     def test_dispatch_floor(self, bench):
         assert _finite_positive(bench.bench_dispatch_floor())
+
+    def test_dispatch_pipelining(self, bench):
+        issue, serial, burst = bench.bench_dispatch_pipelining(reps=2)
+        assert all(_finite_positive(v) for v in (issue, serial, burst))
 
     def test_sharded_1x1(self, bench):
         assert _finite_positive(bench.bench_sharded_1x1())

