@@ -20,6 +20,7 @@ Commands (console.cc handlers):
 
 import dataclasses
 import enum
+import math
 from typing import Callable, Dict, List, Optional
 
 from coherent_rtlsdr_tpu.constants import FCENTER_MAX_HZ, FCENTER_MIN_HZ
@@ -102,7 +103,13 @@ class ConsoleDispatcher:
                     fs = float(p.options)
                 except ValueError:
                     return f"invalid fs: {p.options}"
-                c.set_fs(fs)  # forces resync of all channels (console.cc:168)
+                # sanity range: RTL2832-class rates (fuzz guard — the
+                # reference sets whatever arrives, console.cc:160-167)
+                if not (math.isfinite(fs) and 1e3 <= fs <= 1e9):
+                    return f"fs out of range: {p.options}"
+                ok = c.set_fs(fs)  # forces resync (console.cc:168)
+                if ok is False:  # hardware refused; server kept the old rate
+                    return f"fs change FAILED, still {c.get_fs():.0f} (see log)"
                 return f"fs set to {fs:.0f}"
             return f"fs = {c.get_fs():.0f}"
         if p.command == Command.FCENTER:
@@ -114,7 +121,12 @@ class ConsoleDispatcher:
                 # Range check 1-1800 MHz (console.cc:189).
                 if not (FCENTER_MIN_HZ <= fc <= FCENTER_MAX_HZ):
                     return f"fcenter out of range: {fc:.0f}"
-                c.set_fcenter(fc)
+                ok = c.set_fcenter(fc)
+                if ok is False:  # a dongle retune failed
+                    return (
+                        f"fcenter retune FAILED, still "
+                        f"{c.get_fcenter():.0f} (see log)"
+                    )
                 return f"fcenter set to {fc:.0f}"
             return f"fcenter = {c.get_fcenter():.0f}"
         if p.command == Command.STATUS:

@@ -124,6 +124,7 @@ class CoherentServer:
         # optional io.hwcontrol.HwDriftRelief (rtlsdr source): ticked per
         # loop iteration with the applied numerical delays
         self.hw_relief = None
+        self._hw_relief_next = 0.0
 
         if publisher is None:
             publisher = _make_publisher(data_addr, debug_addr, header)
@@ -399,6 +400,7 @@ class CoherentServer:
                     qput(dict(
                         wire_sigs=wire_sigs, wire_refs=wire_refs, telem=telem,
                         seqnums=[b[2] for b in blocks], na=na, base=base,
+                        n_jit=n_jit, L=self.cfg.block_len,
                     ))
                 else:
                     for j, (sig_u8, ref_u8, seqnums) in enumerate(blocks):
@@ -413,7 +415,8 @@ class CoherentServer:
                         if not qput(dict(
                             wire_sigs=wire_sig, wire_refs=wire_ref,
                             telem=telem, seqnums=[seqnums], na=na,
-                            base=base + j,
+                            base=base + j, n_jit=n_jit,
+                            L=self.cfg.block_len,
                         )):
                             break
                 base += len(blocks)
@@ -421,9 +424,14 @@ class CoherentServer:
                 self._blocks_done += len(blocks)
                 self._poll_control()
                 if self.hw_relief is not None:
-                    self.hw_relief.tick(
-                        np.asarray(self.state.delay)[: self.n_active]
-                    )
+                    # fetching state.delay syncs on the dispatch in flight —
+                    # rate-limit it (hardware relief acts on second scales)
+                    now = time.monotonic()
+                    if now >= self._hw_relief_next:
+                        self._hw_relief_next = now + 0.25
+                        self.hw_relief.tick(
+                            np.asarray(self.state.delay)[: self.n_active]
+                        )
         finally:
             if pub_err:
                 pubq.queue.clear()  # worker is gone; nothing drains these
@@ -438,7 +446,7 @@ class CoherentServer:
         return published[0]
 
     def _publish_batch(
-        self, wire_sigs, wire_refs, telem, seqnums, na, base
+        self, wire_sigs, wire_refs, telem, seqnums, na, base, n_jit, L
     ) -> int:
         """Fetch one dispatched batch's int8 outputs and publish every
         frame (runs on the publisher worker thread). Frame layout: channel
@@ -448,8 +456,6 @@ class CoherentServer:
         frames published."""
         from coherent_rtlsdr_tpu.pipeline.state import TELEMETRY_COLS
 
-        L = self.cfg.block_len
-        n_jit = self.cfg.n_channels
         T = len(seqnums)
         ws = np.asarray(wire_sigs).reshape(T, n_jit, L, 2)
         wr = np.asarray(wire_refs).reshape(T, L, 2)
@@ -473,10 +479,6 @@ class CoherentServer:
                 tp[i, :na, col["gap"]] > 0, block_idx=base + i + 1,
             )
         return T
-
-    def _fetch_phases(self, telem) -> np.ndarray:
-        p = np.asarray(telem.phase, np.float32)  # [N, 2] (re, im)
-        return (p[..., 0] + 1j * p[..., 1]).astype(np.complex64)
 
     def _record_block(self, phases, lag, residual, mag, gap,
                       block_idx: int = -1) -> None:
@@ -504,7 +506,10 @@ class CoherentServer:
                     line = q.get_nowait()
                 except Exception:
                     break
-                out = self.dispatcher.dispatch(line)
+                try:
+                    out = self.dispatcher.dispatch(line)
+                except Exception as e:  # never kill the loop on a command
+                    out = f"error: {e}"
                 if out:
                     print(out, flush=True)
 
@@ -521,14 +526,24 @@ class CoherentServer:
         drop, exactly like the reference's behavior."""
         import dataclasses
 
-        self.fs = float(v)
-        self.cfg = dataclasses.replace(self.cfg, fs=float(v))
+        old_fs = self.fs
         if hasattr(self.source, "set_fs"):
             rc = self.source.set_fs(float(v))
             if rc is not None and rc != 0:
-                logger.warning("source fs change failed (rc=%s)", rc)
+                # a dongle refused: put every healthy one back on the old
+                # rate (mixed-rate arrays are incoherent) and keep config
+                logger.warning(
+                    "source fs change to %.0f failed (rc=%s); restoring %.0f",
+                    float(v), rc, old_fs,
+                )
+                self.source.set_fs(old_fs)
+                self.request_sync()
+                return False
+        self.fs = float(v)
+        self.cfg = dataclasses.replace(self.cfg, fs=float(v))
         self._build_jits(self.cfg)
         self.request_sync()  # fs change forces resync (console.cc:168)
+        return True
 
     def get_fcenter(self):
         return self.fcenter
@@ -538,8 +553,9 @@ class CoherentServer:
             rc = self.source.set_fcenter(v)
             if rc is not None and rc != 0:
                 logger.warning("source retune failed (rc=%s)", rc)
-                return
+                return False
         self.fcenter = v
+        return True
 
     def status(self) -> str:
         s = self.state

@@ -95,7 +95,10 @@ class ControlServer:
             parts = self.sock.recv_multipart()
             ident, payload = parts[0], parts[-1]
             text = payload.decode("utf-8", errors="replace")
-            out = handler(text)
+            try:
+                out = handler(text)
+            except Exception as e:  # a bad command must never kill the loop
+                out = f"error: {e}"
             if self.reply and out is not None:
                 self.sock.send_multipart([ident, out.encode("utf-8")])
             n += 1

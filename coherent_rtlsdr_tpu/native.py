@@ -470,7 +470,8 @@ class NativeRtlCapture:
         open rc. Needs a ring created with n_seq > current channel count."""
         if not self._ptr:
             return -1
-        tenths = 0 if gain_db is None else int(round(gain_db * 10))
+        # 0xFFFFFFFF = "use the capture default" (0 is a real 0.0 dB gain)
+        tenths = 0xFFFFFFFF if gain_db is None else int(round(gain_db * 10))
         rc = self._lib.chost_rtlsdr_capture_add(
             self._ptr, serial.encode(), tenths
         )

@@ -619,6 +619,7 @@ struct RtlDev {
   uint64_t removed = 0;
   std::atomic<uint64_t> dropped_blocks{0};
   std::atomic<int> open_rc{kOpenPending};
+  std::atomic<bool> thread_done{false};
   static constexpr int kOpenPending = -1000;
 };
 
@@ -722,6 +723,7 @@ void rtl_device_main(RtlDev *d) {
       std::lock_guard<std::mutex> g(d->hmtx);
       if (d->dev) r.close(d->dev);
       d->dev = nullptr;
+      d->thread_done.store(true);
       c->exited.fetch_add(1);
       return;
     }
@@ -739,6 +741,7 @@ void rtl_device_main(RtlDev *d) {
       std::lock_guard<std::mutex> g(d->hmtx);
       if (d->dev) r.close(d->dev);
       d->dev = nullptr;
+      d->thread_done.store(true);
       c->exited.fetch_add(1);
       return;
     }
@@ -753,7 +756,8 @@ void rtl_device_main(RtlDev *d) {
     r.close(d->dev);
     d->dev = nullptr;
   }
-  c->exited.fetch_add(1);
+  d->thread_done.store(true);
+      c->exited.fetch_add(1);
 }
 
 // Two-pass frame assembly: pass 1 WAITS until every device FIFO holds a
@@ -766,7 +770,11 @@ void rtl_device_main(RtlDev *d) {
 // take the mutex between frames.
 void rtl_assembler_main(RtlCapture *c) {
   std::vector<uint8_t> block(c->ring->block_bytes, 0x80);  // pad = u8 zero IQ
-  std::vector<uint64_t> seqs(c->ring->n_seq, 0);
+  // sized to the channel CAPACITY, not n_seq: a legacy 1-seq ring still
+  // carries multiple devices, and pass 2 indexes by device (push_n then
+  // stores only the ring's n_seq leading entries)
+  std::vector<uint64_t> seqs(
+      std::max<size_t>(c->ring->n_seq, c->max_chans), 0);
   const size_t chan = c->chan_bytes;
   while (!c->stop.load(std::memory_order_relaxed)) {
     if (c->mutate_pending.load(std::memory_order_acquire)) {
@@ -821,6 +829,24 @@ void rtl_assembler_main(RtlCapture *c) {
                       static_cast<uint32_t>(seqs.size()));
     c->pushed.fetch_add(1, std::memory_order_relaxed);
   }
+}
+
+// Cancel a device's async read until its thread exits, then join.
+// cancel_async is a no-op before the thread has entered read_async (real
+// librtlsdr returns "not running"), so a single cancel can race a
+// just-opened device and hang the join forever — re-issue until the
+// thread reports done.
+void rtl_join_dev(RtlDev *d) {
+  auto &r = rtldl::api();
+  while (!d->thread_done.load(std::memory_order_acquire)) {
+    {
+      std::lock_guard<std::mutex> h(d->hmtx);
+      if (d->dev && r.cancel_async) r.cancel_async(d->dev);
+    }
+    d->cv.notify_all();
+    std::this_thread::sleep_for(std::chrono::milliseconds(10));
+  }
+  if (d->th.joinable()) d->th.join();
 }
 
 // Ring geometry contract: a legacy ring (n_seq == 1) must match the device
@@ -1064,10 +1090,12 @@ int chost_rtlsdr_capture_set_fcenter(void *cv, uint32_t hz) {
   return rc;
 }
 
-// Console `fs` semantics (console.cc:156-175): set the sample rate on every
-// dongle while streaming, flush the per-device FIFOs (stale-rate samples),
-// and reset capture-order counters so all channels restart their seqnums
-// together. The caller forces a resync, like the reference does.
+// Console `fs` semantics (console.cc:156-175): set the sample rate on
+// every dongle while streaming and flush the per-device FIFOs (stale-rate
+// samples). On partial failure the rate is still applied to EVERY healthy
+// dongle (never an early return leaving a mixed-rate array unreported) and
+// -1 is returned so the caller can surface it; the caller forces a resync
+// either way, like the reference does.
 int chost_rtlsdr_capture_set_sample_rate(void *cv, uint32_t fs) {
   auto &r = rtldl::api();
   auto *c = static_cast<RtlCapture *>(cv);
@@ -1076,15 +1104,12 @@ int chost_rtlsdr_capture_set_sample_rate(void *cv, uint32_t fs) {
   int rc = 0;
   for (auto &d : c->devs) {
     std::lock_guard<std::mutex> h(d->hmtx);
-    if (!d->dev) return -1;
-    if (r.set_sample_rate(d->dev, fs) != 0) rc = -1;
+    if (!d->dev || r.set_sample_rate(d->dev, fs) != 0) rc = -1;
   }
-  if (rc == 0) {
-    c->fs = fs;
-    for (auto &d : c->devs) {
-      std::lock_guard<std::mutex> lk(d->mtx);
-      d->fifo.clear();
-    }
+  if (rc == 0) c->fs = fs;
+  for (auto &d : c->devs) {
+    std::lock_guard<std::mutex> lk(d->mtx);
+    d->fifo.clear();
   }
   return rc;
 }
@@ -1111,10 +1136,16 @@ int chost_rtlsdr_capture_add(void *cv, const char *serial,
       c->mutate_pending.store(false, std::memory_order_release);
       return -1;  // ring has no spare channel slot
     }
+    for (auto &e : c->devs) {
+      if (e->serial == serial) {  // duplicate: that dongle is capturing
+        c->mutate_pending.store(false, std::memory_order_release);
+        return -1;
+      }
+    }
     auto nd = std::make_unique<RtlDev>();
     nd->owner = c;
     nd->serial = serial;
-    nd->gain = gain_tenths ? gain_tenths : c->gain;
+    nd->gain = gain_tenths == 0xFFFFFFFFu ? c->gain : gain_tenths;
     nd->hot = true;
     nd->fifo_cap = size_t(c->asyncbufn) * c->chan_bytes * 2;
     d = nd.get();
@@ -1128,7 +1159,26 @@ int chost_rtlsdr_capture_add(void *cv, const char *serial,
     std::this_thread::sleep_for(std::chrono::milliseconds(5));
   int rc = d->open_rc.load();
   if (rc != 0) {
-    chost_rtlsdr_capture_remove(cv, serial);
+    // remove the zombie BY IDENTITY (never by serial: a lookup could hit
+    // another device), else its empty FIFO stalls every future frame
+    std::unique_ptr<RtlDev> victim;
+    c->mutate_pending.store(true, std::memory_order_release);
+    {
+      std::lock_guard<std::mutex> g(c->devs_mtx);
+      for (size_t i = 0; i < c->devs.size(); ++i) {
+        if (c->devs[i].get() == d) {
+          victim = std::move(c->devs[i]);
+          c->devs.erase(c->devs.begin() + i);
+          break;
+        }
+      }
+      c->mutate_pending.store(false, std::memory_order_release);
+    }
+    if (victim) {
+      rtl_join_dev(victim.get());
+      c->spawned.fetch_sub(1);
+      c->exited.fetch_sub(1);
+    }
     return rc;
   }
   return index;
@@ -1157,12 +1207,8 @@ int chost_rtlsdr_capture_remove(void *cv, const char *serial) {
     c->mutate_pending.store(false, std::memory_order_release);
   }
   if (!victim) return -1;
-  {
-    std::lock_guard<std::mutex> h(victim->hmtx);
-    if (victim->dev && r.cancel_async) r.cancel_async(victim->dev);
-  }
-  victim->cv.notify_all();
-  if (victim->th.joinable()) victim->th.join();
+  (void)r;
+  rtl_join_dev(victim.get());
   // its thread already exited (counted); keep liveness math consistent
   c->spawned.fetch_sub(1);
   c->exited.fetch_sub(1);
@@ -1175,18 +1221,8 @@ void chost_rtlsdr_capture_stop(void *cv) {
   auto &r = rtldl::api();
   c->stop.store(true);
   c->mutate_pending.store(true, std::memory_order_release);  // unblock pass 1
-  {
-    std::lock_guard<std::mutex> g(c->devs_mtx);
-    for (auto &d : c->devs) {
-      {
-        std::lock_guard<std::mutex> h(d->hmtx);
-        if (d->dev && r.cancel_async) r.cancel_async(d->dev);
-      }
-      d->cv.notify_all();
-    }
-  }
-  for (auto &d : c->devs)
-    if (d->th.joinable()) d->th.join();
+  (void)r;
+  for (auto &d : c->devs) rtl_join_dev(d.get());
   if (c->assembler.joinable()) c->assembler.join();
   c->done.store(true);
   delete c;

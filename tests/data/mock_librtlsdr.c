@@ -65,14 +65,25 @@ int rtlsdr_close(void *dev) {
   return 0;
 }
 
+/* Failure injection (checked per call so tests can toggle after start):
+ *   MOCK_RTLSDR_FAIL_FS=<idx>    set_sample_rate fails on device <idx>
+ *   MOCK_RTLSDR_FAIL_TUNE=<idx>  set_center_freq fails on device <idx>
+ */
+static int env_is(const char *name, int idx) {
+  const char *v = getenv(name);
+  return v && atoi(v) == idx;
+}
+
 int rtlsdr_set_sample_rate(void *dev, uint32_t fs) {
-  lg((int)((mockdev *)dev)->idx, "set_sample_rate", (long)fs);
-  return 0;
+  int idx = (int)((mockdev *)dev)->idx;
+  lg(idx, "set_sample_rate", (long)fs);
+  return env_is("MOCK_RTLSDR_FAIL_FS", idx) ? -1 : 0;
 }
 
 int rtlsdr_set_center_freq(void *dev, uint32_t f) {
-  lg((int)((mockdev *)dev)->idx, "set_center_freq", (long)f);
-  return 0;
+  int idx = (int)((mockdev *)dev)->idx;
+  lg(idx, "set_center_freq", (long)f);
+  return env_is("MOCK_RTLSDR_FAIL_TUNE", idx) ? -1 : 0;
 }
 
 int rtlsdr_set_agc_mode(void *dev, int on) {

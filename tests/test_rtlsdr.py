@@ -521,7 +521,10 @@ class TestPerChannelSeqnums:
         os.environ["MOCK_RTLSDR_FAST"] = "2"  # MOCK0002 streams 10x faster
         try:
             ring = native.NativeBlockRing(64, 3 * CHAN_BYTES, n_seq=3)
-            cap = _start(ring, ["MOCKREF0", "MOCK0001", "MOCK0002"])
+            # small FIFO (4 chan-blocks) so the rate mismatch overflows it
+            # deterministically even under CI scheduling jitter
+            cap = _start(ring, ["MOCKREF0", "MOCK0001", "MOCK0002"],
+                         asyncbufn=2)
             frames = []
             try:
                 deadline = time.time() + 30
@@ -783,6 +786,60 @@ class TestConsoleToHardware:
         out = server.dispatcher.dispatch("add GHOST")
         assert "failed" in out
         assert server.n_active == 2
+
+    def test_add_duplicate_serial_refused_keeps_capture_alive(
+        self, server, call_log
+    ):
+        """Adding an already-capturing serial must be rejected WITHOUT
+        touching the healthy device (a serial-keyed cleanup would cancel
+        it and leave a zombie stalling every frame)."""
+        out = server.dispatcher.dispatch("add MOCK0001")
+        assert "failed" in out
+        assert server.n_active == 2
+        cap = server.source.capture
+        assert cap.capture_serials() == ["MOCKREF0", "MOCK0001", "MOCK0002"]
+        before = cap.pushed
+        deadline = time.time() + 10
+        while cap.pushed <= before and time.time() < deadline:
+            time.sleep(0.01)
+        assert cap.pushed > before, "capture stalled after duplicate add"
+
+    def test_fs_failure_reports_and_restores(self, server, call_log):
+        """A dongle refusing the new rate: console reports FAILURE, the
+        server keeps the old fs, and every healthy dongle is put back on
+        the old rate (no silent mixed-rate array)."""
+        os.environ["MOCK_RTLSDR_FAIL_FS"] = "1"  # MOCK0001 refuses
+        try:
+            mark = len(_parse(call_log))
+            out = server.dispatcher.dispatch("fs 1024000")
+            assert "FAILED" in out and "2048000" in out
+            assert server.fs == 2.048e6
+            entries = _parse(call_log)[mark:]
+            # healthy dongles saw the attempt AND the restore
+            for idx in (0, 2):
+                rates = [a for fn, a in _calls_for(entries, idx)
+                         if fn == "set_sample_rate"]
+                assert rates == [1024000, 2048000], (idx, rates)
+        finally:
+            os.environ.pop("MOCK_RTLSDR_FAIL_FS", None)
+
+    def test_fcenter_failure_reports_and_keeps_old(self, server, call_log):
+        os.environ["MOCK_RTLSDR_FAIL_TUNE"] = "2"
+        try:
+            out = server.dispatcher.dispatch("fcenter 868000000")
+            assert "FAILED" in out
+            assert server.fcenter == 1024e6
+        finally:
+            os.environ.pop("MOCK_RTLSDR_FAIL_TUNE", None)
+
+    def test_add_explicit_zero_gain_reaches_dongle(self, server, call_log):
+        """gain 0.0 dB is a real tuner gain, not 'unset'."""
+        mark = len(_parse(call_log))
+        idx = server.source.capture.add("MOCK0003", gain_db=0.0)
+        assert idx == 3
+        args = dict(_calls_for(_parse(call_log)[mark:], 3))
+        assert args["set_tuner_gain"] == 0
+        assert server.source.capture.remove("MOCK0003") == 3
 
 
 class TestPerChannelGapsThroughPipeline:

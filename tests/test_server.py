@@ -498,3 +498,48 @@ class TestPipelinedPublish:
         assert srv.run(max_blocks=8) == 8
         ref_seqs = [int(seq[0]) for _, seq, _ in pub.frames]
         assert ref_seqs == list(range(1, 17))
+
+
+class TestConsoleFuzz:
+    """The remote control socket accepts arbitrary bytes from the network
+    (the reference feeds them straight into its parser, console.cc:334-355).
+    A hostile/buggy client must never crash the server or corrupt the
+    stream."""
+
+    def test_garbage_commands_mid_stream(self):
+        import itertools
+        import random
+
+        rng = random.Random(42)
+        truth = make_truth(2, seed=11, max_delay=20.0, snr_db=30.0)
+        src = SyntheticStreamSource(truth, block_len=L, slab_blocks=8, seed=11)
+        cfg = PipelineConfig(n_channels=2, block_len=L)
+        pub, ctl = FakePublisher(), FakeControl()
+        srv = CoherentServer(cfg, src, publisher=pub, control=ctl,
+                             scan_depth=4)
+        garbage = [
+            "", " ", "\x00\xff\xfe", "fs", "fs banana", "fs -1e99",
+            "fcenter 0", "fcenter 999999999999", "fcenter nan",
+            "add", "del", "del NO_SUCH", "request", "request wat",
+            "list all", "status", "phase", "log", "help",
+            "fs 1024000", "request rd", "request re", "request sync",
+            "request lag", "A" * 4096, "add \x01\x02", "nop nop nop",
+        ]
+        feed = itertools.cycle(garbage)
+
+        class FuzzCtl:
+            def poll(self, cb):
+                for _ in range(rng.randint(0, 3)):
+                    cb(next(feed))
+
+        srv.control = FuzzCtl()
+        n = srv.run(max_blocks=40)
+        assert n == 40
+        # stream integrity survived: contiguous ref seqnums, right shapes
+        ref_seqs = [int(seq[0]) for _, seq, _ in pub.frames]
+        assert ref_seqs == list(range(1, 41))
+        for iq, _, _ in pub.frames:
+            assert iq.shape == (3, L, 2)
+        # fs is either untouched or a VALID accepted value — the bogus
+        # `fs -1e99` / `fs nan` in the stream must never land
+        assert srv.fs in (2.048e6, 1024000.0)

@@ -103,3 +103,30 @@ class TestZmqLoopback:
         assert dealer.recv().decode() == "ok"
         ctl.close()
         dealer.close(0)
+
+    def test_control_server_survives_handler_exception(self):
+        """A crashing command handler must not propagate out of poll()
+        (killing the block loop) — the client gets an error reply and the
+        next command is processed normally."""
+        port = CTRL_PORT + 7
+        ctl = ControlServer(f"tcp://127.0.0.1:{port}")
+        ctx = zmq.Context.instance()
+        dealer = ctx.socket(zmq.DEALER)
+        dealer.setsockopt(zmq.RCVTIMEO, 5000)
+        dealer.connect(f"tcp://127.0.0.1:{port}")
+        time.sleep(0.2)
+
+        def handler(s):
+            if s == "boom":
+                raise RuntimeError("handler blew up")
+            return "ok"
+
+        dealer.send_string("boom")
+        dealer.send_string("status")
+        time.sleep(0.2)
+        n = ctl.poll(handler, timeout_ms=2000)
+        assert n == 2
+        assert dealer.recv().decode() == "error: handler blew up"
+        assert dealer.recv().decode() == "ok"
+        ctl.close()
+        dealer.close(0)
