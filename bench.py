@@ -44,12 +44,14 @@ SCAN_K = 32    # streaming micro-batch depth (throughput mode; 128 ms latency)
 SCAN_K_DEEP = 128  # deep micro-batch (512 ms latency; amortizes the floor)
 BASELINE_SAMPLES_PER_S = 21 * 2.048e6  # reference real-time operating point
 
-# Environment note: each jit dispatch through the axon relay costs a FLAT
-# per-call overhead measured between 0.5 ms and ~13 ms DEPENDING ON THE
-# CLAIM (round-3 probe: an empty lax.scan costs the same ~13 ms at K=8 and
-# K=128 — pure dispatch), and calls do not pipeline — so throughput paths
-# batch many blocks per dispatch and all timings take the MIN over batches
-# (robust to relay jitter, not to the claim lottery; see docs/PERF.md).
+# Environment note (round 4, docs/PERF.md): the historical 0.5-13 ms
+# "dispatch floor" is mostly the PER-SYNC fetch RTT — on current claims a
+# dispatch issues in ~0.2 ms and back-to-back calls OVERLAP (but the r2
+# claim did not pipeline, so the dispatch_* fields below record it per
+# run). Synced throughput paths batch many blocks per dispatch; the
+# *_pipelined paths chain dispatches with one sync at the end. All timings
+# take the MIN over batches (robust to relay jitter, not the claim
+# lottery).
 
 
 def _sync(out):
@@ -103,9 +105,9 @@ def bench_offline(**cfg_kw):
     return (T_BLOCKS - 1) * N_CH * L / dt
 
 
-def bench_streaming_scan(scan_k=SCAN_K, **cfg_kw):
-    cfg = PipelineConfig(n_channels=N_CH, block_len=L, **cfg_kw)
-    sig, ref = _inputs(scan_k, flat=cfg.fft_impl == "fused")
+def _scan_jit(cfg):
+    """Jitted scan-K streaming runner shared by the synced and pipelined
+    streaming benches: (state, sigs [K,..], refs [K,..]) -> (state, outs)."""
     gate = jnp.array(True)
 
     def scan_fn(state, sigs, refs):
@@ -115,7 +117,13 @@ def bench_streaming_scan(scan_k=SCAN_K, **cfg_kw):
             return s2, (wire, out.telemetry.residual)
         return jax.lax.scan(body, state, (sigs, refs))
 
-    run = jax.jit(scan_fn)
+    return jax.jit(scan_fn)
+
+
+def bench_streaming_scan(scan_k=SCAN_K, **cfg_kw):
+    cfg = PipelineConfig(n_channels=N_CH, block_len=L, **cfg_kw)
+    sig, ref = _inputs(scan_k, flat=cfg.fft_impl == "fused")
+    run = _scan_jit(cfg)
     state = init_state(cfg)
 
     def call():
@@ -138,16 +146,7 @@ def bench_streaming_scan_pipelined(scan_k=SCAN_K, chain=8, **cfg_kw):
     server_samples_per_s."""
     cfg = PipelineConfig(n_channels=N_CH, block_len=L, **cfg_kw)
     sig, ref = _inputs(scan_k, flat=cfg.fft_impl == "fused")
-    gate = jnp.array(True)
-
-    def scan_fn(state, sigs, refs):
-        def body(s, blk):
-            s2, out = step(cfg, s, blk[0], blk[1], gate)
-            wire = out.wire if out.wire is not None else c64_to_i8_iq(out.aligned)
-            return s2, (wire, out.telemetry.residual)
-        return jax.lax.scan(body, state, (sigs, refs))
-
-    run = jax.jit(scan_fn)
+    run = _scan_jit(cfg)
     state = init_state(cfg)
     s, outs = run(state, sig, ref)
     _sync(outs)

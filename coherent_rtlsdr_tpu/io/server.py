@@ -23,10 +23,17 @@ import numpy as np
 
 from coherent_rtlsdr_tpu import constants
 from coherent_rtlsdr_tpu.io.console import ConsoleDispatcher
-from coherent_rtlsdr_tpu.pipeline.state import PipelineConfig, PipelineState
+from coherent_rtlsdr_tpu.pipeline.state import (
+    TELEMETRY_COLS,
+    PipelineConfig,
+    PipelineState,
+)
 from coherent_rtlsdr_tpu.utils.telemetry import TelemetryRecorder
 
 logger = logging.getLogger("coherent_rtlsdr_tpu")
+
+# packed-telemetry column index map (pipeline/state.TELEMETRY_COLS order)
+_TCOL = {name: j for j, name in enumerate(TELEMETRY_COLS)}
 
 
 class _LogRing(logging.Handler):
@@ -174,7 +181,6 @@ class CoherentServer:
 
         from coherent_rtlsdr_tpu.ops.convert import c64_to_i8_iq
         from coherent_rtlsdr_tpu.pipeline import step
-
         from coherent_rtlsdr_tpu.pipeline.state import pack_telemetry
 
         def _step(state, sig_u8, ref_u8, gate, seq):
@@ -352,6 +358,7 @@ class CoherentServer:
             return False
 
         dispatched = 0
+        gate_cache = (None, None)
         try:
             while not self._do_exit and not pub_err:
                 if max_blocks is not None and dispatched >= max_blocks:
@@ -363,7 +370,12 @@ class CoherentServer:
                     )
                     self._resync_requested = False
 
-                gate = jnp.array(self.refnoise_enabled)
+                # cache the gate scalar per value: a fresh jnp.array
+                # per iteration is a per-batch host->device upload
+                if gate_cache[0] != self.refnoise_enabled:
+                    gate_cache = (self.refnoise_enabled,
+                                  jnp.array(self.refnoise_enabled))
+                gate = gate_cache[1]
                 k = 1
                 if self._scan is not None:
                     k = self.scan_depth
@@ -397,11 +409,12 @@ class CoherentServer:
                     self.state, (wire_sigs, wire_refs), telem = self._scan(
                         self.state, sigs, refs, gate, seqs
                     )
-                    qput(dict(
+                    if not qput(dict(
                         wire_sigs=wire_sigs, wire_refs=wire_refs, telem=telem,
                         seqnums=[b[2] for b in blocks], na=na, base=base,
                         n_jit=n_jit, L=self.cfg.block_len,
-                    ))
+                    )):
+                        break
                 else:
                     for j, (sig_u8, ref_u8, seqnums) in enumerate(blocks):
                         sp, sq = self._padded(sig_u8, seqnums)
@@ -454,15 +467,11 @@ class CoherentServer:
         go out on the debug port. ``telem`` arrives as the packed
         [.., N, 10] tensor (state.TELEMETRY_COLS) — one fetch. Returns
         frames published."""
-        from coherent_rtlsdr_tpu.pipeline.state import TELEMETRY_COLS
-
         T = len(seqnums)
         ws = np.asarray(wire_sigs).reshape(T, n_jit, L, 2)
         wr = np.asarray(wire_refs).reshape(T, L, 2)
-        tp = np.asarray(telem, np.float32).reshape(
-            T, n_jit, len(TELEMETRY_COLS)
-        )
-        col = {name: j for j, name in enumerate(TELEMETRY_COLS)}
+        tp = np.asarray(telem, np.float32).reshape(T, n_jit, len(_TCOL))
+        col = _TCOL
         for i, seq in enumerate(seqnums):
             frame = np.concatenate([wr[i][None], ws[i][:na]], axis=0)
             ref_seq = np.asarray([base + i + 1], np.uint32)

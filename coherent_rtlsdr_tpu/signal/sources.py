@@ -288,7 +288,6 @@ class RtlSource(RingSource):
             timeout_ms=timeout_ms,
         )
         self.capture = capture
-        self.refnoise_enabled = True
 
     @classmethod
     def start(
