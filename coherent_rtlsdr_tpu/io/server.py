@@ -264,6 +264,9 @@ class CoherentServer:
             **updates,
         )
         self.n_active = len(row_map)
+        # per-channel telemetry series change width across a resize; mixed
+        # shapes cannot stack (status crashed on drift stats — r4 soak)
+        self.telemetry.clear()
         if not padded:
             self._build_jits(new_cfg)
 
@@ -450,12 +453,18 @@ class CoherentServer:
                 pubq.queue.clear()  # worker is gone; nothing drains these
             pubq.put(None)
             worker.join()
+            # cleanup runs even when the loop died (device error, source
+            # exception): skewed dongles are restored and calibration is
+            # persisted — a crash must not cost the array its sync state
+            if self.hw_relief is not None:
+                self.hw_relief.stop()
+            if self.state_path:
+                try:
+                    self.save_state()
+                except Exception:
+                    logger.exception("calibration save failed on exit")
         if pub_err:
             raise pub_err[0]
-        if self.hw_relief is not None:
-            self.hw_relief.stop()
-        if self.state_path:
-            self.save_state()
         return published[0]
 
     def _publish_batch(

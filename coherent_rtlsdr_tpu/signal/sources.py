@@ -125,6 +125,9 @@ class SyntheticStreamSource:
         if self._resume is not None:
             slab_idx, offset = self._resume
             self._resume = None
+            while offset >= self._slab:  # invalidated exactly at a slab seam
+                slab_idx += 1
+                offset -= self._slab
         cpu = self._jax.devices("cpu")[0]
         with self._jax.default_device(cpu):
             sig_u8, ref_u8 = synth_stream_slab(

@@ -74,6 +74,13 @@ class TelemetryRecorder:
         with self._lock:
             return len(self._data[name])
 
+    def clear(self) -> None:
+        """Drop the history (e.g. after a channel-set change: per-channel
+        series of different widths cannot stack, and drift statistics
+        across a hot add/del are meaningless anyway)."""
+        with self._lock:
+            self._data.clear()
+
     def phase_drift_deg_rms(self) -> float:
         """Residual phase stability over the window — the
         phasecorrectionplot.m metric as a number."""

@@ -484,6 +484,31 @@ class TestPipelinedPublish:
         with pytest.raises(RuntimeError, match="zmq send failed"):
             srv.run(max_blocks=16)
 
+    def test_crash_still_persists_calibration(self, tmp_path):
+        """A mid-run failure must not cost the array its sync state: the
+        checkpoint is written even when run() exits by exception."""
+        import os
+
+        class BoomPub(FakePublisher):
+            def publish(self, *a, **k):
+                if len(self.frames) >= 2:
+                    raise RuntimeError("boom")
+                return super().publish(*a, **k)
+
+        path = str(tmp_path / "cal.npz")
+        truth = make_truth(2, seed=8, max_delay=20.0, snr_db=30.0)
+        src = SyntheticStreamSource(truth, block_len=L, slab_blocks=8, seed=8)
+        cfg = PipelineConfig(n_channels=2, block_len=L)
+        srv = CoherentServer(
+            cfg, src, publisher=BoomPub(), control=FakeControl(),
+            scan_depth=2, state_path=path,
+        )
+        with pytest.raises(RuntimeError, match="boom"):
+            srv.run(max_blocks=12)
+        assert os.path.exists(path)
+        z = np.load(path)
+        assert z["delay"].shape == (2,)
+
     def test_resume_after_run_keeps_ref_seq_contiguous(self):
         """base ref seq is re-derived from state.block_idx at each run()
         start (bench warmup + measure calls run() twice)."""
@@ -543,3 +568,47 @@ class TestConsoleFuzz:
         # fs is either untouched or a VALID accepted value — the bogus
         # `fs -1e99` / `fs nan` in the stream must never land
         assert srv.fs in (2.048e6, 1024000.0)
+
+
+class TestSoakRegressions:
+    """Bugs surfaced by the round-4 live TPU soak (12 min, mid-run console
+    mutations)."""
+
+    def test_status_works_after_hot_add(self):
+        """Telemetry history holds [N]-wide series; after an add the width
+        changes and np.stack over mixed shapes crashed `status` (the
+        command guard caught it live; here it must just work)."""
+        truth = make_truth(2, seed=12, max_delay=20.0, snr_db=30.0)
+        src = SyntheticStreamSource(truth, block_len=L, slab_blocks=8,
+                                    seed=12)
+        srv = CoherentServer(
+            PipelineConfig(n_channels=2, block_len=L), src,
+            publisher=FakePublisher(), control=FakeControl(),
+            max_channels=4,
+        )
+        assert srv.run(max_blocks=6) == 6
+        out = srv.dispatcher.dispatch("add SOAK_Y")
+        assert "added" in out
+        assert srv.run(max_blocks=6) == 6
+        st = srv.dispatcher.dispatch("status")  # must not raise
+        assert "synchronized" in st and "error" not in st
+
+    def test_hot_plug_at_slab_seam(self):
+        """add/del exactly when a synthetic slab is exhausted resumed with
+        offset == slab size -> IndexError (crashed the soak server)."""
+        truth = make_truth(2, seed=13, max_delay=20.0, snr_db=30.0)
+        slab = 4
+        src = SyntheticStreamSource(truth, block_len=L, slab_blocks=slab,
+                                    seed=13)
+        ref_blocks = []
+        for _ in range(slab):  # consume EXACTLY one slab
+            ref_blocks.append(src.next_block()[1])
+        src.add_channel("SEAM_X")  # invalidate at the seam
+        blk = src.next_block()  # crashed with IndexError before the fix
+        assert blk[0].shape[0] == 3
+        # ref timeline is continuous: an untouched source's block 5 matches
+        src2 = SyntheticStreamSource(truth, block_len=L, slab_blocks=slab,
+                                     seed=13)
+        for _ in range(slab):
+            src2.next_block()
+        np.testing.assert_array_equal(blk[1], src2.next_block()[1])
