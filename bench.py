@@ -21,6 +21,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault(
@@ -167,7 +168,10 @@ def bench_streaming_single(n_iters=16, **cfg_kw):
     sig, ref = _inputs(flat=cfg.fft_impl == "fused")
     gate = jnp.array(True)
 
-    @jax.jit
+    # donate the state like the server's jit does (io/server.py) — the
+    # chained-dispatch loop below is the pipelined server's single-block
+    # pattern, synced once per n_iters
+    @partial(jax.jit, donate_argnums=(0,))
     def run(state, sig, ref):
         state, out = step(cfg, state, sig, ref, gate)
         wire = out.wire if out.wire is not None else c64_to_i8_iq(out.aligned)
