@@ -457,7 +457,10 @@ class CoherentServer:
             # exception): skewed dongles are restored and calibration is
             # persisted — a crash must not cost the array its sync state
             if self.hw_relief is not None:
-                self.hw_relief.stop()
+                try:
+                    self.hw_relief.stop()
+                except Exception:
+                    logger.exception("dongle restore failed on exit")
             if self.state_path:
                 try:
                     self.save_state()
@@ -570,7 +573,14 @@ class CoherentServer:
         if hasattr(self.source, "set_fcenter"):
             rc = self.source.set_fcenter(v)
             if rc is not None and rc != 0:
-                logger.warning("source retune failed (rc=%s)", rc)
+                # a dongle refused: put every healthy one back on the old
+                # tuning (a mixed-frequency array observes different
+                # spectra = incoherent), mirroring set_fs
+                logger.warning(
+                    "source retune to %.0f failed (rc=%s); restoring %.0f",
+                    float(v), rc, self.fcenter,
+                )
+                self.source.set_fcenter(self.fcenter)
                 return False
         self.fcenter = v
         return True

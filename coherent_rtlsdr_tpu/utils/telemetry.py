@@ -59,7 +59,15 @@ class TelemetryRecorder:
         with self._lock:
             self.timer.tick()
             for k, v in series.items():
-                self._data[k].append(np.asarray(v))
+                a = np.asarray(v)
+                d = self._data[k]
+                # a width change (hot add/del) makes old rows unstackable;
+                # in-flight batches can still record old-width rows AFTER a
+                # resize (publisher worker), so reset on mismatch here — the
+                # only place with the ordering knowledge
+                if d and d[-1].shape != a.shape:
+                    d.clear()
+                d.append(a)
 
     def history(self, name: str) -> np.ndarray:
         with self._lock:

@@ -1074,6 +1074,9 @@ int chost_rtlsdr_capture_set_correction_f(void *cv, uint32_t ch, float ppm) {
 
 // Retune every dongle (console `fcenter` semantics, console.cc:176-201) —
 // dithering is re-disabled before each tune (src/crtlsdr.cc:142-146).
+// Applied to EVERY healthy dongle even when one fails (no early return
+// leaving a half-retuned array unreported); -1 on any failure so the
+// caller can restore the old tuning across the array.
 int chost_rtlsdr_capture_set_fcenter(void *cv, uint32_t hz) {
   auto &r = rtldl::api();
   auto *c = static_cast<RtlCapture *>(cv);
@@ -1082,7 +1085,10 @@ int chost_rtlsdr_capture_set_fcenter(void *cv, uint32_t hz) {
   int rc = 0;
   for (auto &d : c->devs) {
     std::lock_guard<std::mutex> h(d->hmtx);
-    if (!d->dev) return -1;
+    if (!d->dev) {
+      rc = -1;
+      continue;
+    }
     if (r.set_dithering) r.set_dithering(d->dev, 0);
     if (r.set_center_freq(d->dev, hz) != 0) rc = -1;
   }

@@ -823,12 +823,21 @@ class TestConsoleToHardware:
         finally:
             os.environ.pop("MOCK_RTLSDR_FAIL_FS", None)
 
-    def test_fcenter_failure_reports_and_keeps_old(self, server, call_log):
+    def test_fcenter_failure_reports_and_restores(self, server, call_log):
+        """A dongle refusing the retune: console reports FAILURE and every
+        healthy dongle is put back on the old tuning (a mixed-frequency
+        array is incoherent)."""
         os.environ["MOCK_RTLSDR_FAIL_TUNE"] = "2"
         try:
+            mark = len(_parse(call_log))
             out = server.dispatcher.dispatch("fcenter 868000000")
             assert "FAILED" in out
             assert server.fcenter == 1024e6
+            entries = _parse(call_log)[mark:]
+            for idx in (0, 1):  # healthy dongles: attempt then restore
+                tunes = [a for fn, a in _calls_for(entries, idx)
+                         if fn == "set_center_freq"]
+                assert tunes == [868000000, 1024000000], (idx, tunes)
         finally:
             os.environ.pop("MOCK_RTLSDR_FAIL_TUNE", None)
 

@@ -612,3 +612,19 @@ class TestSoakRegressions:
         for _ in range(slab):
             src2.next_block()
         np.testing.assert_array_equal(blk[1], src2.next_block()[1])
+
+    def test_telemetry_width_change_resets_series(self):
+        """An old-width telemetry row recorded AFTER a resize (in-flight
+        publisher batch) must not poison the history: record() resets a
+        series on shape change, so status/drift always stack."""
+        from coherent_rtlsdr_tpu.utils.telemetry import TelemetryRecorder
+
+        t = TelemetryRecorder()
+        for _ in range(4):
+            t.record(phase=np.ones(3, np.complex64), lag=np.zeros(3))
+        t.record(phase=np.ones(4, np.complex64), lag=np.zeros(4))  # resized
+        t.record(phase=np.ones(3, np.complex64), lag=np.zeros(3))  # stale
+        t.record(phase=np.ones(3, np.complex64), lag=np.zeros(3))
+        h = t.history("phase")  # must not raise
+        assert h.shape == (2, 3)
+        assert np.isfinite(t.phase_drift_deg_rms())

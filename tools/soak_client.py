@@ -6,6 +6,8 @@ SOAK-OK or the failure list. Pair with:
       --scan-depth 8 --max-channels 6 -A "tcp://*:6555" \
       --ctrl-address "tcp://*:6556" --debug-address "tcp://*:6557"
 (round-4 result: 55,665 frames @ 79.5 f/s, zero errors — docs/PERF.md)"""
+import sys
+import time
 import numpy as np
 import zmq
 
@@ -40,6 +42,7 @@ events = {120: "request rd", 180: "request re", 240: "fcenter 868000000",
           300: "add SOAK_X", 420: "del SOAK_X", 480: "fs 1024000"}
 fired = set()
 align_checks = 0
+bad_streak = 0
 errors = []
 while time.time() - t_run0 < DURATION:
     try:
@@ -66,9 +69,13 @@ while time.time() - t_run0 < DURATION:
             z = np.vdot(ref, X[ch])
             corr = abs(z) / (np.linalg.norm(X[ch]) * np.linalg.norm(ref) + 1e-12)
             if corr < 0.95:
-                # a just-added channel is not yet synced; only flag if old
                 ok = False
         align_checks += 1
+        # two CONSECUTIVE failed checks = a real misalignment (one bad
+        # check is a just-added channel still locking) -> counts as error
+        bad_streak = 0 if ok else bad_streak + 1
+        if bad_streak >= 2:
+            errors.append(f"alignment failed at n={n}")
         st = cmd("status").splitlines()[0]
         print(f"[{el:.0f}s] n={n} N={X.shape[0]} aligned={ok} {st}", flush=True)
 print(cmd("status"), flush=True)
