@@ -27,9 +27,28 @@ def main():
     ap.add_argument("--synth", type=int, default=None, help="generate N synthetic channels instead")
     ap.add_argument("--blocks", type=int, default=32)
     ap.add_argument("--block-len", type=int, default=8192)
+    ap.add_argument(
+        "--mesh", type=int, default=1, metavar="SHARDS",
+        help="shard the channel axis over this many devices "
+             "(parallel/sharded.py make_channel_sharded_align — the "
+             "multi-chip offline engine; n_channels must divide evenly; "
+             "with --cpu, virtual devices are created)",
+    )
+    ap.add_argument(
+        "--fft-impl", choices=["xla", "mxu", "pallas", "fused", "auto"],
+        default="xla",
+        help="spectral backend; 'fused' = the i8-native Pallas mega-kernels",
+    )
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
+    if args.cpu and args.mesh > 1:
+        # virtual devices must exist before jax initializes
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.mesh}"
+            )
     import jax
 
     if args.cpu:
@@ -59,32 +78,73 @@ def main():
         sig_u8, ref_u8, fs = c.sig_u8, c.ref_u8, c.fs
 
     T, N, L, _ = sig_u8.shape
-    cfg = PipelineConfig(n_channels=N, block_len=L)
+    cfg = PipelineConfig(
+        n_channels=N, block_len=L, fft_impl=args.fft_impl,
+        lag_method="phase_zoom" if args.fft_impl == "fused" else "phase_slope",
+    )
+
+    if args.mesh > 1:
+        # Channel-sharded multi-chip engine: each device runs the complete
+        # offline align on its channel slice, zero hot-loop collectives
+        # (docs/SCALING.md). Emits the int8 wire blocks + per-channel
+        # delay/mag (the sharded runner keeps complex on-device).
+        from coherent_rtlsdr_tpu.parallel import make_mesh
+        from coherent_rtlsdr_tpu.parallel.sharded import (
+            make_channel_sharded_align,
+        )
+
+        if N % args.mesh:
+            ap.error(f"--mesh {args.mesh} must divide n_channels={N}")
+        mesh = make_mesh(1, args.mesh)
+        run_sh = make_channel_sharded_align(cfg, mesh)
+        if args.fft_impl == "fused":  # flat byte layout (CLAUDE.md rule 5b)
+            s = jnp.asarray(sig_u8.reshape(T, N, -1))
+            r = jnp.asarray(ref_u8.reshape(T, -1))
+        else:
+            s, r = jnp.asarray(sig_u8), jnp.asarray(ref_u8)
+        wire, delay, mag = jax.block_until_ready(run_sh(s, r))
+        aligned_i8 = np.asarray(wire).reshape(-1, N, L, 2)
+        delay, mag = np.asarray(delay), np.asarray(mag)
+        np.savez_compressed(
+            args.out, aligned_i8=aligned_i8, delay=delay, mag=mag,
+            fs=np.float64(fs),
+        )
+        print(f"aligned {aligned_i8.shape[0]} blocks x {N} ch over a "
+              f"{args.mesh}-device channel mesh -> {args.out}")
+        print(f"final delays: {delay[-1].round(3)}")
+        print(f"mean corr:    {mag.mean(axis=0).round(3)}")
+        return
 
     @jax.jit
     def run(s, r):
         res = align_offline(cfg, s, r, smoothing=args.smoothing)
         # Real-dtype outputs only (TPU boundary rule).
         return (
-            c64_to_i8_iq(res.aligned),
-            c64_to_i8_iq(res.ref),
+            res.wire if res.wire is not None else c64_to_i8_iq(res.aligned),
+            res.wire_ref if res.wire_ref is not None else c64_to_i8_iq(res.ref),
             res.delay,
             res.mag,
             res.papr,
             c2f(res.phase),
         )
 
+    sj = (jnp.asarray(sig_u8.reshape(T, N, -1)) if args.fft_impl == "fused"
+          else jnp.asarray(sig_u8))
+    rj = (jnp.asarray(ref_u8.reshape(T, -1)) if args.fft_impl == "fused"
+          else jnp.asarray(ref_u8))
     aligned_i8, ref_i8, delay, mag, papr, phase_f = jax.block_until_ready(
-        run(jnp.asarray(sig_u8), jnp.asarray(ref_u8))
+        run(sj, rj)
     )
+    aligned_i8 = np.asarray(aligned_i8).reshape(-1, N, L, 2)
+    ref_i8 = np.asarray(ref_i8).reshape(-1, L, 2)
     delay, mag = np.asarray(delay), np.asarray(mag)
     phase = np.asarray(phase_f)
     phase_c = phase[..., 0] + 1j * phase[..., 1]
 
     np.savez_compressed(
         args.out,
-        aligned_i8=np.asarray(aligned_i8),
-        ref_i8=np.asarray(ref_i8),
+        aligned_i8=aligned_i8,
+        ref_i8=ref_i8,
         delay=delay,
         mag=mag,
         papr=np.asarray(papr),

@@ -273,3 +273,47 @@ class TestMusicFollow:
         m = scipy_io.loadmat(mat)
         assert m["x"].dtype == np.complex64 and m["x"].shape[1] == n_ch - 1
         assert m["P"].shape == (24, 24)
+
+
+class TestAlignOfflineCli:
+    """apps/align_offline.py: the offline engine's CLI, incl. the
+    channel-sharded multi-device path (--mesh) and the fused backend."""
+
+    def _run(self, tmp_path, *extra):
+        out = str(tmp_path / "aligned.npz")
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "apps", "align_offline.py"),
+             "--synth", "4", "--blocks", "8", "--block-len", "2048",
+             "--cpu", "-o", out, *extra],
+            capture_output=True, text=True, timeout=600, cwd=REPO,
+        )
+        assert r.returncode == 0, (r.stdout[-800:], r.stderr[-800:])
+        return out, r.stdout
+
+    def test_mesh_sharded_recovers_delays(self, tmp_path):
+        out, stdout = self._run(tmp_path, "--mesh", "2")
+        assert "2-device channel mesh" in stdout
+        z = np.load(out)
+        assert z["aligned_i8"].shape == (7, 4, 2048, 2)
+        # recovered vs true delays (printed by the synth path)
+        assert np.abs(z["delay"][-1] - [10.957, -18.417, -36.722, -38.678]
+                      ).max() < 0.1
+        assert z["mag"].mean() > 0.9
+
+    def test_fused_backend(self, tmp_path):
+        out, _ = self._run(tmp_path, "--fft-impl", "fused")
+        z = np.load(out)
+        assert z["aligned_i8"].shape == (7, 4, 2048, 2)
+        assert np.abs(z["delay"][-1] - [10.957, -18.417, -36.722, -38.678]
+                      ).max() < 0.1
+
+    def test_mesh_must_divide_channels(self, tmp_path):
+        out = str(tmp_path / "x.npz")
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "apps", "align_offline.py"),
+             "--synth", "4", "--blocks", "6", "--block-len", "2048",
+             "--cpu", "--mesh", "3", "-o", out],
+            capture_output=True, text=True, timeout=600, cwd=REPO,
+        )
+        assert r.returncode != 0
+        assert "must divide" in r.stderr
