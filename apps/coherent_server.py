@@ -108,12 +108,25 @@ def main():
              "(viewable with TensorBoard / Perfetto; SURVEY.md §5 telemetry)",
     )
     ap.add_argument(
+        "--mesh", type=int, default=1, metavar="SHARDS",
+        help="shard the channel axis over this many devices (multi-chip "
+             "serving, docs/SCALING.md; channel count — or --max-channels — "
+             "must divide evenly; with --cpu, virtual devices are created)",
+    )
+    ap.add_argument(
         "--max-channels", type=int, default=None,
         help="pad the channel axis to this width so console add/del reuse "
              "the compiled executable (no mid-stream recompile stall)",
     )
     args = ap.parse_args()
 
+    if args.cpu and args.mesh > 1:
+        # virtual devices must exist before jax initializes
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.mesh}"
+            )
     if args.cpu:
         import jax
 
@@ -220,6 +233,11 @@ def main():
             drop_rate=args.drop_rate,
         )
 
+    mesh = None
+    if args.mesh > 1:
+        from coherent_rtlsdr_tpu.parallel import make_mesh
+
+        mesh = make_mesh(1, args.mesh)
     server = CoherentServer(
         cfg,
         source,
@@ -231,6 +249,7 @@ def main():
         state_path=args.state,
         scan_depth=args.scan_depth,
         max_channels=args.max_channels,
+        mesh=mesh,
     )
     print(
         f"coherent_rtlsdr_tpu server: {n} ch x {args.blocksize} @ {args.fs:.0f} "

@@ -86,6 +86,7 @@ class CoherentServer:
         control=None,
         scan_depth: int = 1,
         max_channels: Optional[int] = None,
+        mesh=None,
     ):
         import dataclasses
 
@@ -144,6 +145,10 @@ class CoherentServer:
         self.dispatcher = ConsoleDispatcher(self)
 
         self.scan_depth = int(scan_depth)
+        # multi-chip serving: a jax.sharding.Mesh with a `channel` axis
+        # shards the per-channel DSP across devices (docs/SCALING.md);
+        # everything else in the loop is unchanged
+        self.mesh = mesh
         # fused impl: ship bytes FLAT ([N, 2L]) — a [N, L, 2] byte array is
         # 64x tile-bloated on device (see pipeline/step.py layout rule)
         self._flat = cfg.fft_impl == "fused"
@@ -197,6 +202,15 @@ class CoherentServer:
 
         self.cfg = cfg
         self.n_jit_builds += 1
+        if self.mesh is not None:
+            from coherent_rtlsdr_tpu.parallel.sharded import (
+                make_sharded_server_jits,
+            )
+
+            self._step, self._scan = make_sharded_server_jits(
+                cfg, self.mesh, scan_depth=self.scan_depth
+            )
+            return
         self._step = jax.jit(_step, donate_argnums=(0,))
         self._scan = None
         if self.scan_depth > 1:
@@ -684,6 +698,8 @@ class CoherentServer:
         old_n = self.n_active
         if self.max_channels is not None and old_n + 1 > self.max_channels:
             return f"channel limit reached ({self.max_channels})"
+        if self.mesh is not None and self.max_channels is None:
+            return "add with a device mesh requires --max-channels"
         try:
             idx = self.source.add_channel(serial)
         except RuntimeError as e:  # hardware open failed (rtlsdr source)
@@ -694,6 +710,8 @@ class CoherentServer:
     def del_channel(self, serial: str) -> str:
         if not hasattr(self.source, "del_channel"):
             return "del not supported for this source"
+        if self.mesh is not None and self.max_channels is None:
+            return "del with a device mesh requires --max-channels"
         old_n = self.n_active
         i = self.source.del_channel(serial)
         if i is None:

@@ -264,6 +264,86 @@ def make_auto_sharded_align(cfg: PipelineConfig, mesh, smoothing: str = "global"
     return run
 
 
+def make_sharded_server_jits(cfg: PipelineConfig, mesh, scan_depth: int = 1):
+    """The streaming SERVER's jitted entry points, channel-sharded — what a
+    pod deployment runs (docs/SCALING.md): per-channel DSP split over the
+    ``channel`` mesh axis, the reference block replicated, zero hot-loop
+    collectives. Signatures match io/server.py's unsharded jits exactly:
+
+      step_fn(state, sig_u8, ref_u8, gate, seq)
+          -> (state, wire, wire_ref, packed_telem)
+      scan_fn(state, sigs [K,..], refs [K,..], gate, seqs [K,N])
+          -> (state, (wires, wire_refs), packed_telems)   (None if depth 1)
+
+    The reference-channel outputs are computed identically on every shard
+    (replicated out_specs); telemetry crosses packed ([.., N, 10]).
+    """
+    import dataclasses
+
+    from coherent_rtlsdr_tpu.ops.convert import c64_to_i8_iq
+    from coherent_rtlsdr_tpu.pipeline.state import pack_telemetry
+
+    n_sh = mesh.shape[CHANNEL_AXIS]
+    if cfg.n_channels % n_sh:
+        raise ValueError(
+            f"n_channels={cfg.n_channels} not divisible by {n_sh} channel "
+            "shards (with --max-channels, pick a multiple of the mesh)"
+        )
+    local_cfg = dataclasses.replace(cfg, n_channels=cfg.n_channels // n_sh)
+    fused = cfg.fft_impl == "fused"
+    sig_spec = P(CHANNEL_AXIS, None) if fused else P(CHANNEL_AXIS, None, None)
+    ref_spec = P(None) if fused else P(None, None)
+    telem_spec = P(CHANNEL_AXIS, None)
+    sspec = state_partition_spec()
+
+    def local_step(state, sig_u8, ref_u8, gate, seq):
+        new_state, out = step(local_cfg, state, sig_u8, ref_u8, gate, seq=seq)
+        if out.wire is not None:
+            wire, wire_ref = out.wire, out.wire_ref
+        else:
+            wire = c64_to_i8_iq(out.aligned)
+            wire_ref = c64_to_i8_iq(out.ref)
+        return new_state, wire, wire_ref, pack_telemetry(out.telemetry)
+
+    step_fn = jax.jit(
+        shard_map(
+            local_step, mesh=mesh,
+            in_specs=(sspec, sig_spec, ref_spec, P(), P(CHANNEL_AXIS)),
+            out_specs=(sspec, sig_spec, ref_spec, telem_spec),
+            check_vma=False,
+        ),
+        donate_argnums=(0,),
+    )
+
+    scan_fn = None
+    if scan_depth > 1:
+        def scanned(spec):  # prepend the scan axis to a PartitionSpec
+            return P(*((None,) + tuple(spec)))
+
+        def local_scan(state, sigs, refs, gate, seqs):
+            def body(s, blk):
+                s2, w, wr, t = local_step(s, blk[0], blk[1], gate, blk[2])
+                return s2, ((w, wr), t)
+
+            state, (payloads, telem) = jax.lax.scan(
+                body, state, (sigs, refs, seqs)
+            )
+            return state, payloads, telem
+
+        scan_fn = jax.jit(
+            shard_map(
+                local_scan, mesh=mesh,
+                in_specs=(sspec, scanned(sig_spec), scanned(ref_spec), P(),
+                          P(None, CHANNEL_AXIS)),
+                out_specs=(sspec, (scanned(sig_spec), scanned(ref_spec)),
+                           scanned(telem_spec)),
+                check_vma=False,
+            ),
+            donate_argnums=(0,),
+        )
+    return step_fn, scan_fn
+
+
 def make_sharded_step(cfg: PipelineConfig, mesh, donate: bool = True):
     """Streaming step sharded over the ``channel`` axis (the online path:
     one block at a time, channels split across chips, reference replicated).

@@ -317,3 +317,52 @@ class TestAlignOfflineCli:
         )
         assert r.returncode != 0
         assert "must divide" in r.stderr
+
+
+class TestServerMesh:
+    def test_mesh_flag_serves_frames(self, tmp_path):
+        """--mesh 2 --cpu: the server runs its jits channel-sharded over
+        2 virtual devices and publishes parseable frames."""
+        zmq = pytest.importorskip("zmq")
+        from coherent_rtlsdr_tpu.io.wire import unpack_frame
+
+        port = 18730
+        errf = open(str(tmp_path / "server.err"), "w")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "apps", "coherent_server.py"),
+             "--cpu", "--mesh", "2", "-n", "4", "-b", "256",
+             "--blocks", "2000",
+             "-A", f"tcp://127.0.0.1:{port}",
+             "--ctrl-address", f"tcp://127.0.0.1:{port + 1}",
+             "--debug-address", f"tcp://127.0.0.1:{port + 2}"],
+            stdout=subprocess.PIPE, stderr=errf, text=True, cwd=REPO,
+        )
+        got = None
+        try:
+            ctx = zmq.Context()
+            sub = ctx.socket(zmq.SUB)
+            sub.setsockopt(zmq.SUBSCRIBE, b"")
+            sub.setsockopt(zmq.RCVTIMEO, 1000)
+            sub.connect(f"tcp://127.0.0.1:{port}")
+            deadline = time.time() + 120
+            while got is None and time.time() < deadline:
+                if proc.poll() is not None:
+                    break
+                try:
+                    got = sub.recv()
+                except zmq.Again:
+                    continue
+            sub.close(0)
+            ctx.term()
+        finally:
+            proc.terminate()
+            out = ""
+            try:
+                out = proc.communicate(timeout=120)[0]
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                out = proc.communicate()[0]
+            errf.close()
+        assert got is not None, out[-1500:]
+        frame = unpack_frame(got)
+        assert frame.iq.shape == (5, 256, 2)

@@ -628,3 +628,70 @@ class TestSoakRegressions:
         h = t.history("phase")  # must not raise
         assert h.shape == (2, 3)
         assert np.isfinite(t.phase_drift_deg_rms())
+
+
+class TestShardedServer:
+    """Multi-chip serving: the server's jits channel-sharded over a device
+    mesh (parallel/sharded.py make_sharded_server_jits) — published frames
+    match the unsharded server within int8 wire quantization."""
+
+    def _frames(self, mesh, scan_depth, n=4, blocks=8):
+        truth = make_truth(n, seed=21, max_delay=20.0, snr_db=30.0)
+        src = SyntheticStreamSource(truth, block_len=L, slab_blocks=8,
+                                    seed=21)
+        cfg = PipelineConfig(n_channels=n, block_len=L)
+        pub = FakePublisher()
+        srv = CoherentServer(
+            cfg, src, publisher=pub, control=FakeControl(),
+            scan_depth=scan_depth, mesh=mesh,
+        )
+        assert srv.run(max_blocks=blocks) == blocks
+        return pub.frames, srv
+
+    def _compare(self, scan_depth):
+        from coherent_rtlsdr_tpu.parallel import make_mesh
+
+        ref, _ = self._frames(None, scan_depth)
+        sh, srv = self._frames(make_mesh(1, 2), scan_depth)
+        assert len(ref) == len(sh)
+        for (iq_r, seq_r, ph_r), (iq_s, seq_s, ph_s) in zip(ref, sh):
+            np.testing.assert_array_equal(seq_r, seq_s)
+            # float micro-diffs across the shard boundary may flip one
+            # int8 LSB of the requantized wire
+            assert np.abs(iq_r.astype(np.int16)
+                          - iq_s.astype(np.int16)).max() <= 1
+            np.testing.assert_allclose(ph_r, ph_s, atol=1e-4)
+        assert "4 / 4 synchronized" in srv.status()
+
+    def test_matches_unsharded_single_block(self):
+        self._compare(scan_depth=1)
+
+    def test_matches_unsharded_scan(self):
+        self._compare(scan_depth=4)
+
+    def test_hot_plug_on_mesh_requires_padding(self):
+        from coherent_rtlsdr_tpu.parallel import make_mesh
+
+        _, srv = self._frames(make_mesh(1, 2), 1, blocks=2)
+        out = srv.dispatcher.dispatch("add SH_X")
+        assert "requires --max-channels" in out
+
+    def test_padded_hot_plug_on_mesh(self):
+        from coherent_rtlsdr_tpu.parallel import make_mesh
+
+        truth = make_truth(2, seed=22, max_delay=20.0, snr_db=30.0)
+        src = SyntheticStreamSource(truth, block_len=L, slab_blocks=8,
+                                    seed=22)
+        cfg = PipelineConfig(n_channels=2, block_len=L)
+        pub = FakePublisher()
+        srv = CoherentServer(
+            cfg, src, publisher=pub, control=FakeControl(),
+            mesh=make_mesh(1, 2), max_channels=4,
+        )
+        assert srv.run(max_blocks=4) == 4
+        assert "added" in srv.dispatcher.dispatch("add SH_Y")
+        assert srv.run(max_blocks=4) == 4
+        assert srv.n_jit_builds == 1  # padded: same sharded executable
+        iq, seq, _ = pub.frames[-1]
+        assert iq.shape == (4, L, 2)  # ref + 3 active channels
+        assert "3 / 3" in srv.status().splitlines()[0]
