@@ -695,3 +695,24 @@ class TestShardedServer:
         iq, seq, _ = pub.frames[-1]
         assert iq.shape == (4, L, 2)  # ref + 3 active channels
         assert "3 / 3" in srv.status().splitlines()[0]
+
+    def test_fused_backend_on_mesh(self):
+        """--mesh with the fused i8 mega-kernel backend (the pod
+        configuration): flat byte layout through the sharded jits."""
+        from coherent_rtlsdr_tpu.parallel import make_mesh
+
+        Lf = 2048  # fused kernels need a square fft_len (2L = 4096 = 64^2)
+        truth = make_truth(2, seed=23, max_delay=20.0, snr_db=30.0)
+        src = SyntheticStreamSource(truth, block_len=Lf, slab_blocks=4,
+                                    seed=23)
+        cfg = PipelineConfig(n_channels=2, block_len=Lf, fft_impl="fused",
+                             lag_method="phase_zoom")
+        pub = FakePublisher()
+        srv = CoherentServer(
+            cfg, src, publisher=pub, control=FakeControl(),
+            mesh=make_mesh(1, 2), scan_depth=2,
+        )
+        assert srv.run(max_blocks=4) == 4
+        iq, seq, ph = pub.frames[-1]
+        assert iq.shape == (3, Lf, 2) and iq.dtype == np.int8
+        assert np.abs(np.asarray(srv.state.delay) - truth.delays).max() < 0.5
