@@ -193,6 +193,39 @@ def bench_streaming_single(n_iters=16, **cfg_kw):
 FUSED = dict(fft_impl="fused", lag_method="phase_zoom")
 
 
+def bench_sharded_server_scan_1x1(scan_k=SCAN_K, chain=4):
+    """The multi-chip SERVING path on the real chip: the server's sharded
+    scan jit (make_sharded_server_jits, fused backend) at a 1x1 mesh,
+    chained dispatches with one sync — directly comparable to
+    streaming_scan32_pipelined (its unsharded twin). The gap between the
+    two IS the shard_map serving overhead."""
+    from coherent_rtlsdr_tpu.parallel import make_mesh
+    from coherent_rtlsdr_tpu.parallel.sharded import make_sharded_server_jits
+
+    cfg = PipelineConfig(n_channels=N_CH, block_len=L, **FUSED)
+    _, scan_fn = make_sharded_server_jits(
+        cfg, make_mesh(1, 1), scan_depth=scan_k
+    )
+    sig, ref = _inputs(scan_k, flat=True)
+    seqs = jnp.broadcast_to(
+        jnp.arange(1, scan_k + 1, dtype=jnp.uint32)[:, None], (scan_k, N_CH)
+    )
+    gate = jnp.array(True)
+    state = init_state(cfg)
+    s, _, telems = scan_fn(state, sig, ref, gate, seqs)
+    _sync(telems)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = init_state(cfg)
+        telems = None
+        for _ in range(chain):
+            s, _, telems = scan_fn(s, sig, ref, gate, seqs)
+        _sync(telems)
+        best = min(best, (time.perf_counter() - t0) / (chain * scan_k))
+    return N_CH * L / best
+
+
 def bench_sharded_fused_1x1():
     """make_channel_sharded_align (the fused i8 mega-kernel engine under an
     explicit channel-axis shard_map — the configuration the multi-chip
@@ -398,6 +431,7 @@ def main():
         single = bench_streaming_single(**FUSED)
         sharded = bench_sharded_1x1()
         sharded_fused = bench_sharded_fused_1x1()
+        sharded_server = bench_sharded_server_scan_1x1()
         phase_rms, lag_rms = bench_quality()
         server_fps, server_sps = bench_server()
     best_off = max(offline, offline_fused)
@@ -431,6 +465,9 @@ def main():
                 "dispatch_burst_ms": round(burst_ms, 3),
                 "sharded_1x1_samples_per_s": round(sharded, 1),
                 "sharded_fused_samples_per_s": round(sharded_fused, 1),
+                "sharded_server_scan32_samples_per_s": round(
+                    sharded_server, 1
+                ),
                 "streaming_realtime_factor": round(
                     best_scan / BASELINE_SAMPLES_PER_S, 3
                 ),

@@ -103,3 +103,8 @@ class TestBenchPaths:
         )
         assert r.returncode == 2  # argparse usage error, not a traceback
         assert "expected one argument" in r.stderr
+
+    def test_sharded_server_scan_1x1(self, bench):
+        assert _finite_positive(
+            bench.bench_sharded_server_scan_1x1(scan_k=2, chain=2)
+        )
