@@ -18,6 +18,8 @@ from coherent_rtlsdr_tpu.models.beamform import (
     bartlett_spectrum,
     mvdr_spectrum,
     music_heatmap,
+    esprit_doa,
+    root_music_doa,
 )
 from coherent_rtlsdr_tpu.models.coarray import (
     difference_coarray,

@@ -67,6 +67,49 @@ def mvdr_spectrum(
     return 1.0 / jnp.maximum(q, 1e-12)
 
 
+def esprit_doa(R, n_sources: int, d: float = 0.5):
+    """LS-ESPRIT for a uniform linear array — GRIDLESS DOA, beyond the
+    reference's grid-scan estimators (pmusic.m / heatmap2d scan a fixed
+    (u, v) grid; ESPRIT reads the angles straight out of the rotational
+    invariance between the two N-1-element subarrays).
+
+    ``d`` is the element spacing in wavelengths; steering convention
+    a(theta)_n = exp(+j 2 pi d n sin(theta)) (models/geometry.py).
+    Returns sorted DOAs in radians. Host-side numpy: the final [K, K]
+    non-Hermitian eigenvalue problem has no TPU lowering, and like the
+    reference's MATLAB functions this runs client-side on snapshots.
+    """
+    import numpy as np
+
+    R = np.asarray(R)
+    _, vecs = np.linalg.eigh(R)
+    Es = vecs[:, -n_sources:]                     # signal subspace [N, K]
+    Psi, *_ = np.linalg.lstsq(Es[:-1], Es[1:], rcond=None)
+    phi = np.angle(np.linalg.eigvals(Psi))
+    return np.sort(np.arcsin(np.clip(phi / (2 * np.pi * d), -1.0, 1.0)))
+
+
+def root_music_doa(R, n_sources: int, d: float = 0.5):
+    """root-MUSIC for a uniform linear array — the gridless form of the
+    MUSIC spectrum: the noise-subspace projector's diagonal-sum polynomial
+    is rooted and the K roots nearest (inside) the unit circle give the
+    DOAs. Same conventions/returns as :func:`esprit_doa`; host-side numpy
+    (np.roots has no TPU lowering)."""
+    import numpy as np
+
+    R = np.asarray(R)
+    N = R.shape[0]
+    _, vecs = np.linalg.eigh(R)
+    En = vecs[:, : N - n_sources]
+    C = En @ En.conj().T
+    coeffs = np.array([np.trace(C, offset=k) for k in range(N - 1, -N, -1)])
+    roots = np.roots(coeffs)
+    roots = roots[np.abs(roots) < 1.0]
+    pick = roots[np.argsort(1.0 - np.abs(roots))[:n_sources]]
+    phi = np.angle(pick)
+    return np.sort(np.arcsin(np.clip(phi / (2 * np.pi * d), -1.0, 1.0)))
+
+
 def music_heatmap(
     X: jnp.ndarray,
     positions: jnp.ndarray,

@@ -153,3 +153,72 @@ class TestCoarray:
             assert u_profile[window].max() > 3.0 * np.median(u_profile[outside]), u_true
             u_pk = axv[window][int(np.argmax(u_profile[window]))]
             assert abs(u_pk - u_true) < 0.05, (u_pk, u_true)
+
+
+class TestGridlessDoa:
+    """LS-ESPRIT and root-MUSIC (gridless ULA DOA — beyond the reference's
+    grid-scan estimators)."""
+
+    def _ula_snapshots(self, thetas_deg, N=8, T=400, d=0.5, snr_db=20.0,
+                      seed=0):
+        rng = np.random.default_rng(seed)
+        th = np.radians(thetas_deg)
+        n = np.arange(N)[:, None]
+        A = np.exp(1j * 2 * np.pi * d * n * np.sin(th)[None, :])  # [N, K]
+        S = (rng.standard_normal((len(th), T))
+             + 1j * rng.standard_normal((len(th), T))) / np.sqrt(2)
+        noise = (rng.standard_normal((N, T))
+                 + 1j * rng.standard_normal((N, T))) / np.sqrt(2)
+        X = A @ S + noise * 10 ** (-snr_db / 20)
+        return X.astype(np.complex64)
+
+    def test_esprit_recovers_angles(self):
+        from coherent_rtlsdr_tpu.models.beamform import (
+            esprit_doa,
+            sample_covariance,
+        )
+
+        thetas = [-20.0, 35.0]
+        X = self._ula_snapshots(thetas)
+        R = sample_covariance(jnp.asarray(X), subtract_mean=False)
+        est = np.degrees(esprit_doa(R, n_sources=2))
+        np.testing.assert_allclose(est, sorted(thetas), atol=1.0)
+
+    def test_root_music_recovers_angles(self):
+        from coherent_rtlsdr_tpu.models.beamform import (
+            root_music_doa,
+            sample_covariance,
+        )
+
+        thetas = [-20.0, 35.0]
+        X = self._ula_snapshots(thetas)
+        R = sample_covariance(jnp.asarray(X), subtract_mean=False)
+        est = np.degrees(root_music_doa(R, n_sources=2))
+        np.testing.assert_allclose(est, sorted(thetas), atol=1.0)
+
+    def test_close_sources_resolved(self):
+        """Gridless estimators separate sources closer than a coarse grid."""
+        from coherent_rtlsdr_tpu.models.beamform import (
+            esprit_doa,
+            root_music_doa,
+            sample_covariance,
+        )
+
+        thetas = [10.0, 16.0]
+        X = self._ula_snapshots(thetas, N=12, T=800, snr_db=25.0, seed=3)
+        R = sample_covariance(jnp.asarray(X), subtract_mean=False)
+        for est in (np.degrees(esprit_doa(R, 2)),
+                    np.degrees(root_music_doa(R, 2))):
+            np.testing.assert_allclose(est, thetas, atol=1.5)
+
+    def test_single_source(self):
+        from coherent_rtlsdr_tpu.models.beamform import (
+            esprit_doa,
+            root_music_doa,
+            sample_covariance,
+        )
+
+        X = self._ula_snapshots([12.5], seed=5)
+        R = sample_covariance(jnp.asarray(X), subtract_mean=False)
+        assert abs(np.degrees(esprit_doa(R, 1))[0] - 12.5) < 0.5
+        assert abs(np.degrees(root_music_doa(R, 1))[0] - 12.5) < 0.5
