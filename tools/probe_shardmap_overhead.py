@@ -1,6 +1,6 @@
-"""Localize the shard_map serving overhead (same claim): burst-rate of the
-single sharded step vs unsharded step, and sharded scan vs unsharded scan
-with IDENTICAL outputs (wire, wire_ref, packed telem)."""
+"""Is the scan-under-shard_map overhead tied to the fused backend's i8
+state carries (layout pinning) or structural? Same-claim A/B: xla backend
+sharded vs unsharded scan, fused sharded vs unsharded scan."""
 import os, sys, time, json
 sys.path.insert(0, "/root/repo")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
@@ -15,41 +15,27 @@ from coherent_rtlsdr_tpu.pipeline.state import pack_telemetry
 from coherent_rtlsdr_tpu.ops.convert import c64_to_i8_iq
 
 N, L, K = 21, 8192, 32
-cfg = PipelineConfig(n_channels=N, block_len=L, fft_impl="fused",
-                     lag_method="phase_zoom")
 rng = np.random.default_rng(0)
-sig = jnp.asarray(rng.integers(0, 256, (N, 2*L), dtype=np.uint8))
-ref = jnp.asarray(rng.integers(0, 256, (2*L,), dtype=np.uint8))
-sigs = jnp.asarray(rng.integers(0, 256, (K, N, 2*L), dtype=np.uint8))
-refs = jnp.asarray(rng.integers(0, 256, (K, 2*L), dtype=np.uint8))
-seq = jnp.ones((N,), jnp.uint32)
-seqs = seq[None] + jnp.arange(K, dtype=jnp.uint32)[:, None]
-gate = jnp.array(True)
 
 def sync(x):
     np.asarray(jax.tree_util.tree_leaves(x)[-1].ravel()[0])
 
-# unsharded twins with the SAME outputs as the server jits
-@partial(jax.jit, donate_argnums=(0,))
-def u_step(state, sig, ref, gate, s):
-    st, out = step(cfg, state, sig, ref, gate, seq=s)
-    w = out.wire if out.wire is not None else c64_to_i8_iq(out.aligned)
-    wr = out.wire_ref if out.wire is not None else c64_to_i8_iq(out.ref)
-    return st, w, wr, pack_telemetry(out.telemetry)
+def unsharded_scan(cfg):
+    gate = jnp.array(True)
+    def body_fn(s, blk):
+        st, out = step(cfg, s, blk[0], blk[1], gate, seq=blk[2])
+        w = out.wire if out.wire is not None else c64_to_i8_iq(out.aligned)
+        wr = out.wire_ref if out.wire is not None else c64_to_i8_iq(out.ref)
+        return st, ((w, wr), pack_telemetry(out.telemetry))
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(state, sigs, refs, seqs):
+        st, (p, t) = jax.lax.scan(body_fn, state, (sigs, refs, seqs))
+        return st, p, t
+    return run
 
-@partial(jax.jit, donate_argnums=(0,))
-def u_scan(state, sigs, refs, gate, seqs):
-    def body(s, blk):
-        st, w, wr, t = u_step.__wrapped__(s, blk[0], blk[1], gate, blk[2])
-        return st, ((w, wr), t)
-    st, (p, t) = jax.lax.scan(body, state, (sigs, refs, seqs))
-    return st, p, t
-
-s_step, s_scan = make_sharded_server_jits(cfg, make_mesh(1, 1), scan_depth=K)
-
-def burst(fn, args_fn, reps):
+def burst(fn, cfg, sigs, refs, seqs, reps=4, gate_arg=False):
     st = init_state(cfg)
-    out = fn(st, *args_fn())
+    out = fn(st, sigs, refs, jnp.array(True), seqs) if gate_arg else fn(st, sigs, refs, seqs)
     sync(out[-1])
     best = 1e9
     for _ in range(3):
@@ -57,15 +43,23 @@ def burst(fn, args_fn, reps):
         t0 = time.perf_counter()
         o = None
         for _ in range(reps):
-            r = fn(st2, *args_fn())
+            r = (fn(st2, sigs, refs, jnp.array(True), seqs) if gate_arg
+                 else fn(st2, sigs, refs, seqs))
             st2, o = r[0], r[-1]
         sync(o)
         best = min(best, (time.perf_counter() - t0) / reps)
-    return best
+    return best * 1e3 / K
 
-r = {}
-r["u_step_ms"] = round(burst(u_step, lambda: (sig, ref, gate, seq), 16)*1e3, 3)
-r["s_step_ms"] = round(burst(s_step, lambda: (sig, ref, gate, seq), 16)*1e3, 3)
-r["u_scan_ms_per_blk"] = round(burst(u_scan, lambda: (sigs, refs, gate, seqs), 4)*1e3/K, 3)
-r["s_scan_ms_per_blk"] = round(burst(s_scan, lambda: (sigs, refs, gate, seqs), 4)*1e3/K, 3)
-print(json.dumps(r))
+res = {}
+for name, kw in [("fused", dict(fft_impl="fused", lag_method="phase_zoom")),
+                 ("xla", dict())]:
+    cfg = PipelineConfig(n_channels=N, block_len=L, **kw)
+    flat = kw.get("fft_impl") == "fused"
+    sigs = jnp.asarray(rng.integers(0, 256, (K, N, 2*L) if flat else (K, N, L, 2), dtype=np.uint8))
+    refs = jnp.asarray(rng.integers(0, 256, (K, 2*L) if flat else (K, L, 2), dtype=np.uint8))
+    seqs = jnp.ones((N,), jnp.uint32)[None] + jnp.arange(K, dtype=jnp.uint32)[:, None]
+    u = unsharded_scan(cfg)
+    res[f"u_{name}_ms_blk"] = round(burst(u, cfg, sigs, refs, seqs), 3)
+    _, s_scan = make_sharded_server_jits(cfg, make_mesh(1, 1), scan_depth=K)
+    res[f"s_{name}_ms_blk"] = round(burst(s_scan, cfg, sigs, refs, seqs, gate_arg=True), 3)
+print(json.dumps(res))
