@@ -10,6 +10,9 @@ heatmap2d*.cpp) work unmodified against this framework:
   * console.py  — the text command grammar (console.h:57-70) shared by the
                   local shell and the ZMQ ROUTER control plane
   * zmq_edge.py — ZMQ PUB data/debug publishers + ROUTER control socket
+  * client.py   — CoherentClient, the CZMQSDR.m / zmqsdr.c analog for
+                  Python users (read frames as complex matrices, drive the
+                  console grammar)
   * streamio.py — raw capture file playback/recording
 """
 

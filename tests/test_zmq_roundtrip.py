@@ -130,3 +130,70 @@ class TestZmqLoopback:
         assert dealer.recv().decode() == "ok"
         ctl.close()
         dealer.close(0)
+
+
+class TestCoherentClient:
+    """CoherentClient (io/client.py) — the CZMQSDR.m/zmqsdr.c analog —
+    against live server sockets."""
+
+    def test_read_and_control_roundtrip(self):
+        import threading
+
+        from coherent_rtlsdr_tpu.io.client import CoherentClient
+        from coherent_rtlsdr_tpu.io.server import CoherentServer
+        from coherent_rtlsdr_tpu.io.zmq_edge import ControlServer, FramePublisher
+        from coherent_rtlsdr_tpu.pipeline import PipelineConfig
+        from coherent_rtlsdr_tpu.signal import make_truth
+        from coherent_rtlsdr_tpu.signal.sources import SyntheticStreamSource
+
+        base = 18750
+        L = 1024
+        truth = make_truth(2, seed=31, max_delay=10.0, snr_db=30.0)
+        src = SyntheticStreamSource(truth, block_len=L, slab_blocks=8, seed=31)
+        srv = CoherentServer(
+            PipelineConfig(n_channels=2, block_len=L), src,
+            publisher=FramePublisher(
+                data_addr=f"tcp://127.0.0.1:{base}",
+                debug_addr=f"tcp://127.0.0.1:{base + 2}",
+            ),
+            control=ControlServer(f"tcp://127.0.0.1:{base + 1}"),
+        )
+        cli = CoherentClient(
+            data_addr=f"tcp://127.0.0.1:{base}",
+            ctrl_addr=f"tcp://127.0.0.1:{base + 1}",
+            debug_addr=f"tcp://127.0.0.1:{base + 2}",
+            timeout_ms=2000,
+        )
+        th = threading.Thread(target=lambda: srv.run(max_blocks=60),
+                              daemon=True)
+        th.start()
+        try:
+            f = cli.read()
+            assert f is not None
+            assert f.x.shape == (3, L) and f.x.dtype == np.complex64
+            assert np.abs(f.x).max() <= 127 / 128 + 1e-6  # 1/128 scale
+            assert f.seqnums.shape == (3,)
+            f2 = cli.read()
+            assert f2.globalseqn == f.globalseqn + 1
+            ph = None
+            for _ in range(10):
+                ph = cli.read_phases()
+                if ph is not None:
+                    break
+            assert ph is not None and ph.shape == (3,) and ph[0] == 1.0 + 0j
+
+            cli.center_frequency = 868e6
+            cli.refnoise_enabled = False
+            cli.refnoise_enabled = True
+            cli.request_sync()
+            st = cli.status()
+            assert "synchronized" in st
+            with pytest.raises(ValueError):
+                cli.center_frequency = 1e6  # below CZMQSDR.m's 24 MHz floor
+            assert cli.command("quit") == "bye"
+        finally:
+            srv.request_exit()
+            th.join(timeout=60)
+            cli.close()
+        assert srv.fcenter == 868e6
+        assert srv.refnoise_enabled is True
