@@ -43,12 +43,9 @@ def main():
     args = ap.parse_args()
 
     if args.cpu and args.mesh > 1:
-        # virtual devices must exist before jax initializes
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count={args.mesh}"
-            )
+        from coherent_rtlsdr_tpu._bootstrap import force_virtual_devices
+
+        force_virtual_devices(args.mesh)  # before jax initializes
     import jax
 
     if args.cpu:
@@ -95,6 +92,9 @@ def main():
 
         if N % args.mesh:
             ap.error(f"--mesh {args.mesh} must divide n_channels={N}")
+        if args.smoothing != "global":
+            ap.error("--mesh supports --smoothing global only (the "
+                     "channel-sharded engine smooths globally per slab)")
         mesh = make_mesh(1, args.mesh)
         run_sh = make_channel_sharded_align(cfg, mesh)
         if args.fft_impl == "fused":  # flat byte layout (CLAUDE.md rule 5b)
@@ -105,9 +105,17 @@ def main():
         wire, delay, mag = jax.block_until_ready(run_sh(s, r))
         aligned_i8 = np.asarray(wire).reshape(-1, N, L, 2)
         delay, mag = np.asarray(delay), np.asarray(mag)
+        # The reference channel is its own timebase: its aligned wire is
+        # exactly the overlap-save window centers of the raw bytes (the
+        # u8->f32->i8 roundtrip is the identity on int8 values), so emit
+        # it host-side — same npz schema as the unsharded path.
+        rfull = (ref_u8.astype(np.int16) - 128).astype(np.int8)  # [T, L, 2]
+        ref_i8 = np.concatenate(
+            [rfull[:-1, L // 2:], rfull[1:, : L // 2]], axis=1
+        )
         np.savez_compressed(
-            args.out, aligned_i8=aligned_i8, delay=delay, mag=mag,
-            fs=np.float64(fs),
+            args.out, aligned_i8=aligned_i8, ref_i8=ref_i8, delay=delay,
+            mag=mag, fs=np.float64(fs),
         )
         print(f"aligned {aligned_i8.shape[0]} blocks x {N} ch over a "
               f"{args.mesh}-device channel mesh -> {args.out}")

@@ -121,12 +121,9 @@ def main():
     args = ap.parse_args()
 
     if args.cpu and args.mesh > 1:
-        # virtual devices must exist before jax initializes
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count={args.mesh}"
-            )
+        from coherent_rtlsdr_tpu._bootstrap import force_virtual_devices
+
+        force_virtual_devices(args.mesh)  # before jax initializes
     if args.cpu:
         import jax
 

@@ -216,8 +216,9 @@ def bench_sharded_server_scan_1x1(scan_k=SCAN_K, chain=4):
     _sync(telems)
     best = 1e9
     for _ in range(3):
+        s = init_state(cfg)  # outside the timed window (donation consumes it)
+        _sync(s.delay)
         t0 = time.perf_counter()
-        s = init_state(cfg)
         telems = None
         for _ in range(chain):
             s, _, telems = scan_fn(s, sig, ref, gate, seqs)

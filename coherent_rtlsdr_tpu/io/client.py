@@ -105,6 +105,11 @@ class CoherentClient:
         """Send one console-grammar command, return the server's reply
         (the reference's clients never read replies — zmqsdr.c:152-181 —
         but our server sends them; they are safe to ignore)."""
+        # drain any late reply from a previously timed-out command, else
+        # request/reply pairing desyncs forever (first TPU claim stalls
+        # the server loop for minutes — CLAUDE.md rule 4)
+        while self._ctl.poll(0):
+            self._ctl.recv()
         self._ctl.send_string(line)
         try:
             return self._ctl.recv().decode()

@@ -82,6 +82,8 @@ def esprit_doa(R, n_sources: int, d: float = 0.5):
     import numpy as np
 
     R = np.asarray(R)
+    if not 0 < n_sources < R.shape[-1]:
+        raise ValueError(f"n_sources must be in (0, N={R.shape[-1]})")
     _, vecs = np.linalg.eigh(R)
     Es = vecs[:, -n_sources:]                     # signal subspace [N, K]
     Psi, *_ = np.linalg.lstsq(Es[:-1], Es[1:], rcond=None)
@@ -99,6 +101,8 @@ def root_music_doa(R, n_sources: int, d: float = 0.5):
 
     R = np.asarray(R)
     N = R.shape[0]
+    if not 0 < n_sources < N:
+        raise ValueError(f"n_sources must be in (0, N={N})")
     _, vecs = np.linalg.eigh(R)
     En = vecs[:, : N - n_sources]
     C = En @ En.conj().T

@@ -299,6 +299,31 @@ class TestAlignOfflineCli:
         assert np.abs(z["delay"][-1] - [10.957, -18.417, -36.722, -38.678]
                       ).max() < 0.1
         assert z["mag"].mean() > 0.9
+        # ref_i8 keeps the unsharded schema, byte-exact (the ref channel
+        # is its own timebase; the quantization roundtrip is the identity)
+        out_u = str(tmp_path / "unsharded.npz")
+        import subprocess as sp
+        r = sp.run(
+            [sys.executable, os.path.join(REPO, "apps", "align_offline.py"),
+             "--synth", "4", "--blocks", "8", "--block-len", "2048",
+             "--cpu", "-o", out_u],
+            capture_output=True, text=True, timeout=600, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        zu = np.load(out_u)
+        np.testing.assert_array_equal(z["ref_i8"], zu["ref_i8"])
+
+    def test_mesh_rejects_ema_smoothing(self, tmp_path):
+        out = str(tmp_path / "x.npz")
+        import subprocess as sp
+        r = sp.run(
+            [sys.executable, os.path.join(REPO, "apps", "align_offline.py"),
+             "--synth", "4", "--blocks", "6", "--block-len", "2048",
+             "--cpu", "--mesh", "2", "--smoothing", "ema", "-o", out],
+            capture_output=True, text=True, timeout=600, cwd=REPO,
+        )
+        assert r.returncode != 0
+        assert "smoothing global only" in r.stderr
 
     def test_fused_backend(self, tmp_path):
         out, _ = self._run(tmp_path, "--fft-impl", "fused")

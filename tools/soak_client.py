@@ -51,9 +51,9 @@ last_g = f.globalseqn
 n = 1
 t_run0 = time.time()
 _f = DURATION / 700.0  # event schedule scales with the duration
-events = {int(120 * _f): "request rd", int(180 * _f): "request re",
-          int(240 * _f): "fcenter 868000000", int(300 * _f): "add SOAK_X",
-          int(420 * _f): "del SOAK_X", int(480 * _f): "fs 1024000"}
+events = [(120 * _f, "request rd"), (180 * _f, "request re"),
+          (240 * _f, "fcenter 868000000"), (300 * _f, "add SOAK_X"),
+          (420 * _f, "del SOAK_X"), (480 * _f, "fs 1024000")]
 fired = set()
 align_checks = 0
 bad_streak = 0
@@ -69,9 +69,9 @@ while time.time() - t_run0 < DURATION:
         errors.append(f"gseq jump {last_g} -> {f.globalseqn} at n={n}")
     last_g = f.globalseqn
     el = time.time() - t_run0
-    for t_ev, c in events.items():
-        if el >= t_ev and t_ev not in fired:
-            fired.add(t_ev)
+    for i, (t_ev, c) in enumerate(events):
+        if el >= t_ev and i not in fired:
+            fired.add(i)
             r = cmd(c)
             print(f"[{el:.0f}s n={n}] > {c} -> {r.splitlines()[0] if r else ''}",
                   flush=True)
