@@ -81,7 +81,11 @@ class CoherentClient:
                 buf = self._sub.recv()
             except self._zmq.Again:
                 continue
-            f = unpack_frame(buf)
+            try:
+                f = unpack_frame(buf)
+            except ValueError:  # malformed frame: skip, keep retrying
+                self.malformed = getattr(self, "malformed", 0) + 1
+                continue
             return ClientFrame(
                 x=frame_to_matrix(f),  # 1/128 scale, zmqsdr.c:128-135
                 globalseqn=int(f.globalseqn),

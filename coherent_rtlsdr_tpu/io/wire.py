@@ -64,7 +64,17 @@ def unpack_frame(
     block_len: Optional[int] = None,
 ) -> Frame:
     if header:
+        # Validate before trusting network-supplied geometry: a truncated
+        # or hostile frame must raise ValueError (callers skip it), never
+        # struct.error / a huge allocation.
+        if len(buf) < HDR_BYTES:
+            raise ValueError(f"frame too short for hdr0: {len(buf)} bytes")
         gseq, n, l, _ = HDR_STRUCT.unpack_from(buf, 0)
+        if len(buf) != frame_length(n, l):
+            raise ValueError(
+                f"frame length {len(buf)} != hdr0 geometry N={n} L={l} "
+                f"({frame_length(n, l)} bytes)"
+            )
         off = HDR_BYTES
         seqnums = np.frombuffer(buf, dtype="<u4", count=n, offset=off).copy()
         off += 4 * n

@@ -203,13 +203,23 @@ class ZmqSource:
 
         from coherent_rtlsdr_tpu.io.wire import unpack_frame
 
-        try:
-            buf = self._sub.recv()
-        except zmq.Again:
-            return None
-        f = unpack_frame(
-            buf, header=self._header, n_channels=self._n, block_len=self._L
-        )
+        while True:
+            try:
+                buf = self._sub.recv()
+            except zmq.Again:
+                return None
+            try:
+                f = unpack_frame(
+                    buf, header=self._header, n_channels=self._n,
+                    block_len=self._L,
+                )
+                break
+            except ValueError:
+                # malformed/truncated network frame: skip it — one bad
+                # peer message must not stop a chained server (the loop
+                # treats a None source result as end-of-stream)
+                self.malformed = getattr(self, "malformed", 0) + 1
+                continue
         u8 = (f.iq.astype(np.int16) + 128).astype(np.uint8)
         self._rx_count = np.uint32(self._rx_count + np.uint32(1))
         if self._header:

@@ -197,3 +197,93 @@ class TestCoherentClient:
             cli.close()
         assert srv.fcenter == 868e6
         assert srv.refnoise_enabled is True
+
+
+class TestMalformedFrames:
+    """A hostile/buggy peer on the DATA port must not stop a consumer:
+    truncated or geometry-lying frames are skipped, valid ones still
+    arrive (unpack_frame validates hdr0 geometry against the byte count)."""
+
+    def _pub_feed(self, port, payloads, stop):
+        import threading
+
+        pub = zmq.Context.instance().socket(zmq.PUB)
+        pub.bind(f"tcp://127.0.0.1:{port}")
+
+        def feeder():
+            while not stop.is_set():
+                for p in payloads:
+                    pub.send(p)
+                time.sleep(0.01)
+
+        th = threading.Thread(target=feeder, daemon=True)
+        th.start()
+        return pub, th
+
+    def test_unpack_frame_validates_geometry(self):
+        from coherent_rtlsdr_tpu.io.wire import pack_frame, unpack_frame
+
+        with pytest.raises(ValueError, match="too short"):
+            unpack_frame(b"\x01" * 10)
+        # header claims N=200 channels but carries 2 channels of payload
+        good = pack_frame(
+            7, np.arange(2, dtype=np.uint32), np.zeros((2, 64, 2), np.int8)
+        )
+        bad = bytearray(good)
+        bad[4:8] = (200).to_bytes(4, "little")
+        with pytest.raises(ValueError, match="geometry"):
+            unpack_frame(bytes(bad))
+
+    def test_zmq_source_skips_garbage(self):
+        import threading
+
+        from coherent_rtlsdr_tpu.io.wire import pack_frame
+        from coherent_rtlsdr_tpu.signal.sources import ZmqSource
+
+        port = 18770
+        good = pack_frame(
+            1, np.arange(3, dtype=np.uint32), np.zeros((3, 64, 2), np.int8)
+        )
+        stop = threading.Event()
+        pub, th = self._pub_feed(
+            port, [b"", b"\xde\xad\xbe\xef" * 5, good[:30], good], stop
+        )
+        try:
+            src = ZmqSource(f"tcp://127.0.0.1:{port}", timeout_ms=5000)
+            blk = src.next_block()
+            assert blk is not None
+            sig, ref, seqs = blk
+            assert sig.shape == (2, 64, 2) and ref.shape == (64, 2)
+            assert src.malformed >= 1
+            src.close()
+        finally:
+            stop.set()
+            th.join()
+            pub.close(0)
+
+    def test_client_skips_garbage(self):
+        import threading
+
+        from coherent_rtlsdr_tpu.io.client import CoherentClient
+        from coherent_rtlsdr_tpu.io.wire import pack_frame
+
+        port = 18771
+        good = pack_frame(
+            9, np.arange(2, dtype=np.uint32), np.zeros((2, 32, 2), np.int8)
+        )
+        stop = threading.Event()
+        pub, th = self._pub_feed(port, [b"junk", good], stop)
+        try:
+            cli = CoherentClient(
+                data_addr=f"tcp://127.0.0.1:{port}",
+                ctrl_addr=f"tcp://127.0.0.1:{port + 1}",
+                timeout_ms=2000, max_retries=20,
+            )
+            f = cli.read()
+            assert f is not None and f.x.shape == (2, 32)
+            assert cli.malformed >= 1
+            cli.close()
+        finally:
+            stop.set()
+            th.join()
+            pub.close(0)
