@@ -131,8 +131,13 @@ class CoherentClient:
                 f"center frequency {hz:.0f} outside {FC_MIN_HZ:.0f}-"
                 f"{FC_MAX_HZ:.0f} Hz (CZMQSDR.m:45-49)"
             )
-        self.command(f"fcenter {hz:.0f}")
-        self._fc = hz
+        reply = self.command(f"fcenter {hz:.0f}")
+        # Our server reports a failed retune ('fcenter retune FAILED ...',
+        # io/server.py) and keeps the old tuning — don't let the cached fc
+        # disagree with the array. The reference binary sends no replies
+        # (command() then returns ""), which counts as success.
+        if "FAILED" not in reply:
+            self._fc = hz
 
     @property
     def refnoise_enabled(self) -> Optional[bool]:

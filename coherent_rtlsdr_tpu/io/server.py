@@ -433,6 +433,7 @@ class CoherentServer:
                     )):
                         break
                 else:
+                    enqueued = 0
                     for j, (sig_u8, ref_u8, seqnums) in enumerate(blocks):
                         sp, sq = self._padded(sig_u8, seqnums)
                         if self._flat:
@@ -449,6 +450,14 @@ class CoherentServer:
                             L=self.cfg.block_len,
                         )):
                             break
+                        enqueued += 1
+                    if enqueued < len(blocks):
+                        # publisher died mid-batch: count only what was
+                        # actually enqueued, then exit on pub_err
+                        base += enqueued
+                        dispatched += enqueued
+                        self._blocks_done += enqueued
+                        break
                 base += len(blocks)
                 dispatched += len(blocks)
                 self._blocks_done += len(blocks)

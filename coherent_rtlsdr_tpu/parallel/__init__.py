@@ -16,6 +16,7 @@ from coherent_rtlsdr_tpu.parallel.mesh import make_mesh, auto_mesh_shape
 from coherent_rtlsdr_tpu.parallel.sharded import (
     make_auto_sharded_align,
     make_channel_sharded_align,
+    make_fused_time_sharded_align,
     make_sharded_align,
     make_sharded_step,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "auto_mesh_shape",
     "make_auto_sharded_align",
     "make_channel_sharded_align",
+    "make_fused_time_sharded_align",
     "make_sharded_align",
     "make_sharded_step",
 ]

@@ -140,7 +140,10 @@ def make_channel_sharded_align(cfg: PipelineConfig, mesh):
     """Offline align sharded over the CHANNEL axis only — works with every
     backend including the fused i8 mega-kernels (which GSPMD cannot
     partition: Pallas calls are opaque custom-calls, and the explicit
-    shard_map halo runner above hand-schedules an XLA-ops path).
+    shard_map halo runner above hand-schedules an XLA-ops path). For the
+    fused backend on a mesh with a TIME axis, use
+    :func:`make_fused_time_sharded_align` — the raw-byte halo runner that
+    scales the fused engine over BOTH axes.
 
     With channels split and time local, everything is channel-local: each
     shard runs the complete offline engine (measure -> smooth -> apply,
@@ -204,6 +207,130 @@ def make_channel_sharded_align(cfg: PipelineConfig, mesh):
         return fn(sig_u8, ref_u8)
 
     return run
+
+
+def make_fused_time_sharded_align(
+    cfg: PipelineConfig, mesh, smoothing: str = "global"
+):
+    """The fused i8 mega-kernel offline engine sharded over the FULL
+    (time, channel) mesh — the flagship multi-chip throughput path.
+
+    GSPMD cannot partition Pallas custom-calls, so the time-axis halo is
+    hand-scheduled exactly like :func:`make_sharded_align`'s — but in the
+    fused kernels' native currency, raw capture bytes: each time shard
+    ``ppermute``s its LAST i8 block (signal planes + reference plane, one
+    flat ``[*, m/2, 2m]`` byte block per shard boundary) to the next shard,
+    prepends it, and runs the complete fused engine on the local slab
+    (measure_i8_spec -> psum-reduced global smoothing -> apply_spec_i8).
+    The windows are assembled from consecutive block pairs *inside* the
+    kernels (kernels/pallas_fused.py), so the halo is the whole exchange —
+    O(N_loc * 2L) bytes per slab over ICI. Channel shards are
+    collective-free; each recomputes the replicated reference's window
+    spectra in-kernel (nc/N of one shard's work — the trade the fused
+    measure kernel already makes per grid column).
+
+    Input:  sig_u8 ``[T, N, 2L]`` u8 FLAT bytes, P(time, channel);
+            ref_u8 ``[T, 2L]`` u8, P(time).
+    Output: wire ``[T, N, 2L]`` i8 P(time, channel); wire_ref ``[T, 2L]``
+            i8 P(time); delay/mag ``[T, N]`` P(time, channel).
+
+    Window t = blocks (t-1, t), like make_sharded_align: T outputs, the
+    first seeded from a zero halo (u8 0x80 = i8 zero IQ, the streaming
+    step's init_state seeding) and excluded from the smoothing psums — so
+    the global delay/phase solutions sum exactly the terms the unsharded
+    engine sums, and ``wire[1:]`` matches the unsharded engine's T-1
+    outputs (to reduction order).
+    """
+    if cfg.fft_impl != "fused":
+        raise ValueError(
+            "make_fused_time_sharded_align is the fused-backend runner "
+            f"(got fft_impl='{cfg.fft_impl}'); use make_sharded_align for "
+            "the XLA path"
+        )
+    if smoothing != "global":
+        raise NotImplementedError(
+            "fused time-sharded align supports smoothing='global' (EMA is "
+            "sequential in time; use the streaming step for it)"
+        )
+    from coherent_rtlsdr_tpu.kernels.backend import get_spectral
+    from coherent_rtlsdr_tpu.ops.convert import u8_to_i8
+
+    L = cfg.block_len
+    k = get_spectral(cfg, 2 * L)._k
+    m = k.m
+
+    def local_fn(sig_u8, ref_u8):
+        # Local shards: sig_u8 [T_loc, N_loc, 2L] u8; ref_u8 [T_loc, 2L].
+        T_loc, N_loc = sig_u8.shape[:2]
+        raw = u8_to_i8(sig_u8.reshape(T_loc, N_loc, m // 2, 2 * m))
+        ref_raw = u8_to_i8(ref_u8.reshape(T_loc, m // 2, 2 * m))
+
+        # Overlap-save halo: previous time shard's last raw block (zeros on
+        # shard 0 — i8 0 == u8 0x80 == zero IQ).
+        prev_sig = _halo_prev_block(raw, TIME_AXIS)       # [N_loc, m/2, 2m]
+        prev_ref = _halo_prev_block(ref_raw, TIME_AXIS)   # [m/2, 2m]
+        ext = jnp.concatenate([prev_sig[None], raw], axis=0)
+        ext_ref = jnp.concatenate([prev_ref[None], ref_raw], axis=0)
+
+        # Phase A: the fused measure kernel over T_loc windows (spectrum
+        # handoff: bf16 window spectra stored for apply).
+        lag, zre, zim, mag, papr, dre, dim = k.measure_i8_spec(ext, ext_ref)
+
+        # Phase B: global quality-weighted smoothing — two psums over the
+        # time axis. The zero-halo window (shard 0, window 0) is excluded
+        # so the reduction sums exactly the unsharded engine's terms.
+        w = (mag >= cfg.min_corr_mag).astype(jnp.float32)
+        is_first = jax.lax.axis_index(TIME_AXIS) == 0
+        w = w.at[0].set(jnp.where(is_first, 0.0, w[0]))
+        q = w * mag * mag
+        num = jax.lax.psum(jnp.sum(q * lag, axis=0), TIME_AXIS)
+        den = jax.lax.psum(jnp.sum(q, axis=0), TIME_AXIS)
+        delay = num / jnp.where(den > 0, den, 1.0)        # [N_loc]
+        delay = jnp.clip(delay, -cfg.max_delay, cfg.max_delay)
+        delay_b = jnp.broadcast_to(delay[None], lag.shape)
+
+        # Global phase: pc_inst = conj(z)/|z| per window (float pairs — no
+        # complex64 under shard_map boundaries), quality-weighted psum mean,
+        # renormalized (pipeline/offline.py _smooth_phases 'global').
+        zabs = jnp.sqrt(zre * zre + zim * zim)
+        safe = jnp.where(zabs > 0, zabs, 1.0)
+        pr = jnp.where(zabs > 0, zre / safe, 1.0)
+        pi = jnp.where(zabs > 0, -zim / safe, 0.0)
+        zr = jax.lax.psum(jnp.sum(pr * w, axis=0), TIME_AXIS)  # [N_loc]
+        zi = jax.lax.psum(jnp.sum(pi * w, axis=0), TIME_AXIS)
+        zn = jnp.sqrt(zr * zr + zi * zi)
+        zsafe = jnp.where(zn > 0, zn, 1.0)
+        pcr = jnp.broadcast_to(
+            jnp.where(zn > 0, zr / zsafe, 1.0)[None], lag.shape
+        )
+        pci = jnp.broadcast_to(
+            jnp.where(zn > 0, zi / zsafe, 0.0)[None], lag.shape
+        )
+
+        # Phase C: fused apply from the stored spectra -> int8 wire bytes.
+        wire_raw = k.apply_spec_i8(dre, dim, delay_b, pcr, pci)
+        wire = wire_raw.reshape(T_loc, N_loc, 2 * L)
+        wire_ref = jnp.concatenate(
+            [ext_ref[:-1, m // 4:], ext_ref[1:, : m // 4]], axis=1
+        ).reshape(T_loc, 2 * L)
+        return wire, wire_ref, delay_b, mag
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(TIME_AXIS, CHANNEL_AXIS, None),
+            P(TIME_AXIS, None),
+        ),
+        out_specs=(
+            P(TIME_AXIS, CHANNEL_AXIS, None),
+            P(TIME_AXIS, None),
+            P(TIME_AXIS, CHANNEL_AXIS),
+            P(TIME_AXIS, CHANNEL_AXIS),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def state_partition_spec():

@@ -867,6 +867,23 @@ bool rtl_capture_geometry_ok(RtlCapture *c) {
   return true;
 }
 
+// Priority acquisition of devs_mtx for short-lived mutators and readers
+// (retune/fs/ppm setters, counter/serial readers): raising mutate_pending
+// first makes the assembler abandon its in-progress frame at the next
+// pass-1 wake-up (every USB callback notifies) instead of these callers
+// queueing behind an unfair mutex the assembler re-acquires in a tight
+// loop and holds across up-to-200 ms waits — a console retune/status must
+// never hang behind one stalled dongle.
+struct DevsLock {
+  RtlCapture *c;
+  std::unique_lock<std::mutex> lk;
+  explicit DevsLock(RtlCapture *cc) : c(cc) {
+    c->mutate_pending.store(true, std::memory_order_release);
+    lk = std::unique_lock<std::mutex>(c->devs_mtx);
+    c->mutate_pending.store(false, std::memory_order_release);
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -1025,7 +1042,7 @@ int chost_rtlsdr_capture_running(void *cv) {
 uint64_t chost_rtlsdr_capture_dropped(void *cv) {
   if (!cv) return 0;
   auto *c = static_cast<RtlCapture *>(cv);
-  std::lock_guard<std::mutex> g(c->devs_mtx);
+  DevsLock g(c);
   uint64_t n = 0;
   for (auto &d : c->devs) n += d->dropped_blocks.load();
   return n;
@@ -1040,7 +1057,7 @@ uint64_t chost_rtlsdr_capture_stalls(void *cv) {
 int chost_rtlsdr_capture_ndev(void *cv) {
   if (!cv) return 0;
   auto *c = static_cast<RtlCapture *>(cv);
-  std::lock_guard<std::mutex> g(c->devs_mtx);
+  DevsLock g(c);
   return static_cast<int>(c->devs.size());
 }
 
@@ -1048,7 +1065,7 @@ int chost_rtlsdr_capture_ndev(void *cv) {
 int chost_rtlsdr_capture_serial(void *cv, uint32_t ch, char *out, int cap) {
   if (!cv) return -1;
   auto *c = static_cast<RtlCapture *>(cv);
-  std::lock_guard<std::mutex> g(c->devs_mtx);
+  DevsLock g(c);
   if (ch >= c->devs.size()) return -1;
   const std::string &s = c->devs[ch]->serial;
   if (static_cast<int>(s.size()) + 1 > cap) return -1;
@@ -1064,7 +1081,7 @@ int chost_rtlsdr_capture_set_correction_f(void *cv, uint32_t ch, float ppm) {
   auto &r = rtldl::api();
   auto *c = static_cast<RtlCapture *>(cv);
   if (!c) return -1;
-  std::lock_guard<std::mutex> g(c->devs_mtx);
+  DevsLock g(c);
   if (ch >= c->devs.size()) return -1;
   RtlDev *d = c->devs[ch].get();
   std::lock_guard<std::mutex> h(d->hmtx);
@@ -1081,7 +1098,7 @@ int chost_rtlsdr_capture_set_fcenter(void *cv, uint32_t hz) {
   auto &r = rtldl::api();
   auto *c = static_cast<RtlCapture *>(cv);
   if (!c) return -1;
-  std::lock_guard<std::mutex> g(c->devs_mtx);
+  DevsLock g(c);
   int rc = 0;
   for (auto &d : c->devs) {
     std::lock_guard<std::mutex> h(d->hmtx);
@@ -1106,7 +1123,7 @@ int chost_rtlsdr_capture_set_sample_rate(void *cv, uint32_t fs) {
   auto &r = rtldl::api();
   auto *c = static_cast<RtlCapture *>(cv);
   if (!c) return -1;
-  std::lock_guard<std::mutex> g(c->devs_mtx);
+  DevsLock g(c);
   int rc = 0;
   for (auto &d : c->devs) {
     std::lock_guard<std::mutex> h(d->hmtx);
@@ -1221,14 +1238,25 @@ int chost_rtlsdr_capture_remove(void *cv, const char *serial) {
   return index;
 }
 
+// Terminal teardown. stop() may race the assembler and concurrent console
+// setters/readers (which it drains via devs_mtx below), but NOT a concurrent
+// add/remove/second-stop — those mutators are serialized by the caller (the
+// Python server runs all console commands and stop on one thread); after
+// stop returns the handle is freed and every capture_* call on it is UB.
 void chost_rtlsdr_capture_stop(void *cv) {
   auto *c = static_cast<RtlCapture *>(cv);
   if (!c) return;
-  auto &r = rtldl::api();
   c->stop.store(true);
   c->mutate_pending.store(true, std::memory_order_release);  // unblock pass 1
-  (void)r;
-  for (auto &d : c->devs) rtl_join_dev(d.get());
+  // Detach the device list under devs_mtx (the assembler or an in-flight
+  // setter may still be walking it), then join outside the lock: joins can
+  // take hundreds of ms and the assembler needs the mutex to notice stop.
+  std::vector<std::unique_ptr<RtlDev>> doomed;
+  {
+    std::lock_guard<std::mutex> g(c->devs_mtx);
+    doomed.swap(c->devs);
+  }
+  for (auto &d : doomed) rtl_join_dev(d.get());
   if (c->assembler.joinable()) c->assembler.join();
   c->done.store(true);
   delete c;

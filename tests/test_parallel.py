@@ -135,6 +135,62 @@ class TestChannelShardedAlign:
                       - np.asarray(res.wire, np.int32))
         assert diff.max() <= 1  # bf16 accumulation-order LSB at most
 
+    def test_fused_time_sharded_matches_unsharded(self):
+        """The raw-byte ppermute halo runner (the flagship multi-chip path:
+        fused mega-kernels sharded over BOTH mesh axes) must match the
+        unsharded fused engine — the halo'd shard-boundary windows and the
+        psum-reduced smoothing are implementation details, not numerics."""
+        from coherent_rtlsdr_tpu.parallel import make_fused_time_sharded_align
+
+        Lf = 2048
+        N, T = 8, 8
+        truth = make_truth(N, seed=5, max_delay=20.0, snr_db=30.0)
+        cap = synth_capture(jax.random.PRNGKey(5), truth, n_blocks=T,
+                            block_len=Lf)
+        cfg = PipelineConfig(n_channels=N, block_len=Lf, fft_impl="fused",
+                             lag_method="phase_zoom")
+        sig = jnp.asarray(np.asarray(cap.sig_u8).reshape(T, N, 2 * Lf))
+        ref = jnp.asarray(np.asarray(cap.ref_u8).reshape(T, 2 * Lf))
+
+        res = jax.jit(
+            lambda s, r: align_offline(cfg, s, r, smoothing="global")
+        )(sig, ref)
+
+        mesh = make_mesh(4, 2)  # time AND channel shards
+        run = make_fused_time_sharded_align(cfg, mesh)
+        wire_s, wref_s, delay_s, mag_s = jax.block_until_ready(run(sig, ref))
+
+        # Sharded emits T windows; window t>=1 is unsharded window t-1.
+        np.testing.assert_allclose(
+            np.asarray(delay_s[1:]), np.asarray(res.delay), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(mag_s[1:]), np.asarray(res.mag), atol=1e-5
+        )
+        diff = np.abs(np.asarray(wire_s[1:], np.int32)
+                      - np.asarray(res.wire, np.int32))
+        assert diff.max() <= 1  # psum/bf16 accumulation-order LSB at most
+        np.testing.assert_array_equal(
+            np.asarray(wref_s[1:]), np.asarray(res.wire_ref)
+        )
+        # the shard-boundary windows (t = T/4, 2T/4, 3T/4) must be REAL
+        # measurements, not halo artifacts: recovered delays at truth
+        np.testing.assert_allclose(
+            np.asarray(delay_s[-1]), truth.delays, atol=0.1
+        )
+
+    def test_fused_time_sharded_rejects_wrong_backend(self):
+        from coherent_rtlsdr_tpu.parallel import make_fused_time_sharded_align
+
+        cfg = PipelineConfig(n_channels=4, block_len=L)
+        with pytest.raises(ValueError):
+            make_fused_time_sharded_align(cfg, make_mesh(2, 4))
+        cfg_f = PipelineConfig(n_channels=4, block_len=2048,
+                               fft_impl="fused", lag_method="phase_zoom")
+        with pytest.raises(NotImplementedError):
+            make_fused_time_sharded_align(cfg_f, make_mesh(2, 4),
+                                          smoothing="ema")
+
     def test_xla_backend_works_too(self):
         from coherent_rtlsdr_tpu.parallel import make_channel_sharded_align
         from coherent_rtlsdr_tpu.ops.convert import c64_to_i8_iq
