@@ -10,9 +10,18 @@ receives these blocks straight into the SPSC ring. This is the reference's
 raw output mode (main.cc:105,148-150) turned into the czmqsdr stub's intent
 (include/csdrdevice.h:270-272): a network-fed device.
 
-Wire: one ZMQ PUB message per block, header-less, exactly
-``(N+1) * L * 2`` uint8 bytes — reference channel first, then N signal
-channels, interleaved IQ (the RingSource slot layout).
+Wire (one ZMQ PUB message per block, reference channel first, then N
+signal channels — the RingSource slot layout):
+
+  * ``--wire header`` (default): the reference wire frame (io/wire.py —
+    hdr0 {gseq, N+1, L} + per-channel uint32 capture seqnums + int8 IQ).
+    The seqnums are the per-device capture counters (the reference's
+    ``readcnt``, src/crtlsdr.cc:181-188), so a capture-side drop on THIS
+    host gaps exactly that channel in the remote pipeline — end-to-end
+    readcnt semantics (cpacketizer.cc:142) across the network hop.
+  * ``--wire raw``: header-less ``(N+1) * L * 2`` uint8 bytes (the
+    reference's -R mode) — no seqnums on the wire; the remote side
+    synthesizes a frame counter and upstream drops are invisible.
 
     python apps/capture_daemon.py -n 4 -b 8192 -A "tcp://*:5554"
     python apps/capture_daemon.py --source rtlsdr -C array.cfg -A "tcp://*:5554"
@@ -48,6 +57,13 @@ def main():
                     help="blocks/s pacing (synth/file; 0 = real-time fs/L)")
     ap.add_argument("--blocks", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--wire", choices=["header", "raw"], default="header",
+                    help="header = seqnum-carrying reference wire frames "
+                         "(per-channel drop visibility downstream); raw = "
+                         "header-less blocks (reference -R mode)")
+    ap.add_argument("--drop-rate", type=float, default=0.0,
+                    help="synth: per-channel block drop injection (testing "
+                         "the end-to-end gap chain)")
     args = ap.parse_args()
 
     import numpy as np
@@ -83,7 +99,9 @@ def main():
         else:
             serials = native.rtlsdr_enumerate()
         n = len(serials) - 1
-        ring = native.NativeBlockRing(16, (n + 1) * L * 2)
+        # per-channel seqnum tracks: the dongles' capture-order readcnt
+        # rides the wire in header mode
+        ring = native.NativeBlockRing(16, (n + 1) * L * 2, n_seq=n + 1)
         capture = native.NativeRtlCapture(
             ring, serials, block_len=L, fs=args.fs, fcenter=args.fcenter,
             gain_db=args.gain, ref_gain_db=args.refgain,
@@ -91,12 +109,14 @@ def main():
 
         def blocks():
             while True:
-                out = ring.pop(timeout_ms=5000)
+                out = ring.pop_n(timeout_ms=5000)
                 if out is None:
                     if not capture.running:
                         return
                     continue
-                yield out[0]
+                buf, seqs64, _ts = out
+                yield (buf.reshape(n + 1, L, 2),
+                       seqs64[: n + 1].astype(np.uint32))
     elif args.source == "file":
         from coherent_rtlsdr_tpu.io.streamio import load_capture
         from coherent_rtlsdr_tpu.signal.sources import FileSource
@@ -106,16 +126,21 @@ def main():
         def blocks():
             period = 1.0 / rate
             nxt = time.monotonic()
+            ref_seq = 0
             while True:
                 blk = src.next_block()
                 if blk is None:
                     return
-                sig, ref, _ = blk
+                sig, ref, seqs = blk
+                ref_seq += 1
                 nxt += period
                 time.sleep(max(0.0, nxt - time.monotonic()))
-                yield np.concatenate(
+                frame = np.concatenate(
                     [np.asarray(ref)[None], np.asarray(sig)], axis=0
-                ).tobytes()
+                )
+                yield frame, np.concatenate(
+                    [[np.uint32(ref_seq)], seqs.astype(np.uint32)]
+                )
     else:
         import jax
 
@@ -124,24 +149,43 @@ def main():
         from coherent_rtlsdr_tpu.signal.sources import SyntheticStreamSource
 
         truth = make_truth(n, seed=args.seed, max_delay=40.0, snr_db=30.0)
-        src = SyntheticStreamSource(truth, block_len=L, seed=args.seed)
+        src = SyntheticStreamSource(truth, block_len=L, seed=args.seed,
+                                    drop_rate=args.drop_rate)
 
         def blocks():
             period = 1.0 / rate
             nxt = time.monotonic()
+            ref_seq = 0
             while True:
-                sig, ref, _ = src.next_block()
+                sig, ref, seqs = src.next_block()
+                ref_seq += 1
                 nxt += period
                 time.sleep(max(0.0, nxt - time.monotonic()))
-                yield np.concatenate(
+                frame = np.concatenate(
                     [np.asarray(ref)[None], np.asarray(sig)], axis=0
-                ).tobytes()
+                )
+                yield frame, np.concatenate(
+                    [[np.uint32(ref_seq)], seqs.astype(np.uint32)]
+                )
+
+    header = args.wire == "header"
+    if header:
+        from coherent_rtlsdr_tpu.io.wire import pack_frame
 
     print(f"capture daemon: {n}+1 ch x {L} -> PUB {args.address} "
-          f"({args.source}, {rate:.1f} blocks/s)", flush=True)
+          f"({args.source}, {args.wire} wire, {rate:.1f} blocks/s)",
+          flush=True)
     sent = 0
     try:
-        for buf in blocks():
+        for frame_u8, seqs in blocks():
+            if header:
+                # wire payload is signed int8 (cdsp::convtosigned: u8 ^ 0x80)
+                iq = (np.ascontiguousarray(frame_u8) ^ np.uint8(0x80)).view(
+                    np.int8
+                )
+                buf = pack_frame(sent, seqs, iq)
+            else:
+                buf = np.ascontiguousarray(frame_u8).tobytes()
             pub.send(buf)
             sent += 1
             if args.blocks is not None and sent >= args.blocks:
@@ -153,7 +197,7 @@ def main():
             capture.stop()
         pub.close(0)
         ctx.term()
-    print(f"published {sent} raw blocks", flush=True)
+    print(f"published {sent} blocks", flush=True)
 
 
 if __name__ == "__main__":

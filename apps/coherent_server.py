@@ -198,7 +198,12 @@ def main():
         from coherent_rtlsdr_tpu.signal.sources import RingSource
 
         block_bytes = (n + 1) * args.blocksize * 2
-        ring = native.NativeBlockRing(args.ring_slots, block_bytes)
+        # Per-channel seqnum tracks: a zmq ingest daemon publishing header
+        # frames (apps/capture_daemon.py default) carries per-device
+        # capture seqnums end to end; raw blocks / file replay fall back to
+        # a frame counter replicated across the tracks.
+        ring = native.NativeBlockRing(args.ring_slots, block_bytes,
+                                      n_seq=n + 1)
         if not args.ingest:
             ap.error("--source ring requires --ingest file:<path> | zmq:<addr>")
         kind, _, spec = args.ingest.partition(":")

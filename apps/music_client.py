@@ -72,6 +72,14 @@ def main():
         help="also save the snapshot matrix as MATLAB FILE "
              "(variables x, time — heatmap2d2.cpp matsave layout — plus P)",
     )
+    ap.add_argument(
+        "--plot", default=None, metavar="FILE_OR_SHOW",
+        help="live graphical heatmap (heatmap2d2.cpp's gnuplot pm3d "
+             "surface, matplotlib edition): 'show' opens an interactive "
+             "window re-drawn per --follow iteration; any other value is "
+             "a PNG path re-written atomically per iteration (works "
+             "display-less via the Agg backend)",
+    )
     ap.add_argument("--timeout-ms", type=int, default=600000)
     args = ap.parse_args()
 
@@ -156,6 +164,50 @@ def main():
         with open(path, "wb") as f:  # file object: np.save won't append .npy
             np.save(f, P)
 
+    plot_state = {}
+    if args.plot:
+        import matplotlib
+
+        if args.plot != "show":
+            matplotlib.use("Agg")  # PNG mode renders display-less
+        import matplotlib.pyplot as plt
+
+        plot_state["plt"] = plt
+
+    def render_plot(P, it):
+        """The heatmap2d2.cpp live-surface analog (its gnuplot pm3d replot
+        loop, beamformclient/heatmap2d2.cpp:265-346): one persistent
+        figure, data swapped per iteration."""
+        plt = plot_state["plt"]
+        ext = float(np.asarray(ax)[0]), float(np.asarray(ax)[-1])
+        if "im" not in plot_state:
+            fig, axp = plt.subplots(figsize=(6, 5))
+            im = axp.imshow(
+                10 * np.log10(np.maximum(P / P.max(), 1e-12)),
+                origin="lower", extent=(*ext, *ext), cmap="inferno",
+                vmin=-30, vmax=0, aspect="equal",
+            )
+            fig.colorbar(im, ax=axp, label="dB")
+            axp.set_xlabel("u = sin θ cos φ")
+            axp.set_ylabel("v = sin θ sin φ")
+            plot_state.update(fig=fig, axp=axp, im=im)
+            if args.plot == "show":
+                plt.ion()
+                fig.show()
+        else:
+            plot_state["im"].set_data(
+                10 * np.log10(np.maximum(P / P.max(), 1e-12))
+            )
+        plot_state["axp"].set_title(
+            f"{args.method} spectrum" + (f"  [{it}]" if it is not None else "")
+        )
+        if args.plot == "show":
+            plot_state["fig"].canvas.draw_idle()
+            plot_state["plt"].pause(0.001)
+        else:
+            _atomic(args.plot, lambda p: plot_state["fig"].savefig(
+                p, dpi=90, format="png"))  # tmp path has no .png suffix
+
     def render(P, it=None):
         _atomic(args.out, lambda p: _save_npy(p, P))
         i = int(P.argmax())
@@ -167,6 +219,8 @@ def main():
         tag = f"[{it}] " if it is not None else ""
         print(f"{tag}peak at (u, v) = ({u:+.3f}, {v:+.3f}); saved {args.out}",
               flush=True)
+        if args.plot:
+            render_plot(P, it)
 
     def save_mat(X, P):
         import time as _time

@@ -45,6 +45,49 @@ SCAN_K = 32    # streaming micro-batch depth (throughput mode; 128 ms latency)
 SCAN_K_DEEP = 128  # deep micro-batch (512 ms latency; amortizes the floor)
 BASELINE_SAMPLES_PER_S = 21 * 2.048e6  # reference real-time operating point
 
+# Roofline anchors — TPU v5e (the bench device reports "TPU v5 lite"):
+# 819 GB/s HBM bandwidth, ~197 bf16 TFLOP/s per chip. "Fast" is only
+# meaningful against these: the bench reports achieved GB/s / TFLOP/s and
+# the fraction of peak for the headline fused path, from the kernels'
+# documented per-window traffic model (fused_cost_model below).
+HBM_PEAK_GBPS = 819.0
+MXU_PEAK_TFLOPS = 197.0
+
+
+def fused_cost_model(n_ch=N_CH, block_len=L):
+    """Modeled HBM bytes and MXU FLOPs PER OUTPUT SAMPLE of the fused
+    offline engine (measure_i8_spec + apply_spec_i8 + the eager XOR pass —
+    kernels/pallas_fused.py docstrings are the source of the constants).
+
+    Per window-channel (one L-sample output block of one channel),
+    W = 2L = m^2, nc = channels per grid step:
+
+      HBM bytes:
+        eager XOR            read 2L + write 2L   (x (N+1)/N planes)
+        measure: raw window  read 2*2L            (two half-window blocks)
+                 ref window  read 2*2L / nc       (shared per grid step)
+                 spectra out write 2*2W bf16 = 8L (re+im planes)
+        apply:   spectra in  read 8L
+                 wire out    write 2L
+        tables/scalars       ~0 (VMEM-resident across the grid)
+      => bytes/sample ~= 26 + 4/nc + 4/N
+
+      MXU FLOPs (m^3 multiply-accumulate blocks, 2 FLOPs/MAC):
+        de-interleave 2 blocks x 2 selection matmuls     8 m^3
+        forward FFT (2 complex matmul stages)           16 m^3
+        phase-zoom selection matmuls                   ~2.5 m^3
+        ref forward FFT + de-interleave, / nc           24 m^3 / nc
+        apply: inverse stage + half-row final + reint.  16 m^3
+      => flops/sample ~= (42.5 + 24/nc) m^3 / L
+    """
+    from coherent_rtlsdr_tpu.kernels.pallas_fused import FusedPipelineKernels
+
+    m = int(round((2 * block_len) ** 0.5))
+    nc = FusedPipelineKernels._pick_nc(n_ch)
+    bytes_per_sample = 26.0 + 4.0 / nc + 4.0 / n_ch
+    flops_per_sample = (42.5 + 24.0 / nc) * m**3 / block_len
+    return bytes_per_sample, flops_per_sample
+
 # Environment note (round 4, docs/PERF.md): the historical 0.5-13 ms
 # "dispatch floor" is mostly the PER-SYNC fetch RTT — on current claims a
 # dispatch issues in ~0.2 ms and back-to-back calls OVERLAP (but the r2
@@ -243,6 +286,55 @@ def bench_sharded_fused_1x1():
     return (T_BLOCKS - 1) * N_CH * L / dt
 
 
+def bench_fused_time_sharded_1x1():
+    """make_fused_time_sharded_align (the fused engine over the FULL
+    (time, channel) mesh — raw-byte ppermute halo + psum smoothing) at a
+    1x1 mesh on the real chip. Protects the flagship multi-chip scaling
+    claim: should land within ~5% of sharded_fused_samples_per_s (the halo
+    is a no-op at one shard; the extra zero-halo window is 1/T work)."""
+    from coherent_rtlsdr_tpu.parallel import (
+        make_fused_time_sharded_align,
+        make_mesh,
+    )
+
+    cfg = PipelineConfig(n_channels=N_CH, block_len=L, **FUSED)
+    run = make_fused_time_sharded_align(cfg, make_mesh(1, 1))
+    sig, ref = _inputs(T_BLOCKS, flat=True)
+    dt = _best(lambda: run(sig, ref))
+    return T_BLOCKS * N_CH * L / dt
+
+
+def bench_streaming_packed(scan_k=8, chain=8):
+    """The packed-state streaming path (pipeline/state.pack_state: the
+    11-leaf carry crosses the jit boundary as THREE tensors — the
+    production server's dispatch since round 5) at the deployable-latency
+    scan depth, chained dispatches, one sync. Compare against
+    streaming_scan8_pipelined SAME RUN: the delta is the leaf-count cost."""
+    from coherent_rtlsdr_tpu.pipeline.drivers import make_packed_scan_runner
+    from coherent_rtlsdr_tpu.pipeline.state import pack_state_host
+
+    cfg = PipelineConfig(n_channels=N_CH, block_len=L, **FUSED)
+    run = make_packed_scan_runner(cfg, donate=False)
+    sig, ref = _inputs(scan_k, flat=True)
+    seqs = jnp.broadcast_to(
+        jnp.arange(1, scan_k + 1, dtype=jnp.uint32)[:, None], (scan_k, N_CH)
+    )
+    gate = jnp.array(True)
+    pstate = pack_state_host(init_state(cfg))
+    s, outs, telem = run(pstate, sig, ref, gate, seqs)
+    _sync(telem)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = pstate
+        telem = None
+        for _ in range(chain):
+            s, outs, telem = run(s, sig, ref, gate, seqs)
+        _sync(telem)
+        best = min(best, (time.perf_counter() - t0) / (chain * scan_k))
+    return N_CH * L / best
+
+
 def bench_dispatch_floor(scan_k=SCAN_K):
     """The flat per-dispatch cost of THIS claim, measured as an empty
     lax.scan of the same depth (docs/PERF.md round-3 #1: streaming numbers
@@ -291,6 +383,33 @@ def bench_dispatch_pipelining(reps=8):
     issue = time.perf_counter() - t0
     _sync(r)
     return issue * 1e3, serial * 1e3, burst * 1e3
+
+
+def bench_sharded_dispatch_floor(scan_k=SCAN_K):
+    """The empty-scan dispatch floor of the SHARDED (shard_map) path, same
+    claim — the arbitration term for sharded_server_scan32 vs its
+    unsharded twin (docs/PERF.md r4 #8: per-claim condition swings sharded
+    programs up to ~1.8x; without both floors recorded same-run the
+    serving-overhead ratio is uninterpretable). Returns milliseconds."""
+    from jax.sharding import PartitionSpec as P
+
+    from coherent_rtlsdr_tpu.parallel import make_mesh
+
+    mesh = make_mesh(1, 1)
+
+    def empty(c, _):
+        return c, ()
+
+    def fn(x):
+        c, _ = jax.lax.scan(empty, x, None, length=scan_k)
+        return c
+
+    sfn = jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=P(None), out_specs=P(None), check_vma=False
+    ))
+    x = jnp.zeros((8,), jnp.float32)
+    dt = _best(lambda: sfn(x))
+    return dt * 1e3
 
 
 def bench_sharded_1x1():
@@ -361,13 +480,14 @@ def bench_quality(n_blocks=16):
     return phase_rms, lag_rms
 
 
-def bench_server(n_blocks=160, warmup=40):
+def bench_server(n_blocks=160, warmup=40, rate_fps=0.0, port_base=16555):
     """End-to-end SERVER throughput: native C++ file producer -> SPSC ring ->
     RingSource -> jitted fused scan step -> int8 fetch -> native ZMQ
     publisher. This is the number the reference's hot loop corresponds to
     (ccoherent::threadf + cpacketize::send, src/ccoherent.cc:245-294), host
-    edge included. Returns (frames/s, samples/s); 0 when the native library
-    isn't available."""
+    edge included. ``rate_fps`` paces the producer (a live capture at
+    fs = rate_fps * L); 0 = flat out. Returns (frames/s, samples/s);
+    0 when the native library isn't available."""
     import tempfile
 
     from coherent_rtlsdr_tpu import native
@@ -385,13 +505,15 @@ def bench_server(n_blocks=160, warmup=40):
         path = f.name
     # per-channel seqnum ring — the production rtlsdr ingest path
     ring = native.NativeBlockRing(128, block_bytes, n_seq=N_CH + 1)
-    producer = native.NativeProducer.file(ring, path, loop=True)
+    producer = native.NativeProducer.file(
+        ring, path, rate_blocks_per_s=rate_fps, loop=True
+    )
     source = RingSource(ring, n_channels=N_CH, block_len=L, timeout_ms=10000)
     server = CoherentServer(
         cfg, source,
-        data_addr="tcp://127.0.0.1:16555",
-        ctrl_addr="tcp://127.0.0.1:16556",
-        debug_addr="tcp://127.0.0.1:16557",
+        data_addr=f"tcp://127.0.0.1:{port_base}",
+        ctrl_addr=f"tcp://127.0.0.1:{port_base + 1}",
+        debug_addr=f"tcp://127.0.0.1:{port_base + 2}",
         scan_depth=SCAN_K,
     )
     try:
@@ -403,6 +525,49 @@ def bench_server(n_blocks=160, warmup=40):
         producer.stop()
         os.unlink(path)
     return n / dt, n * N_CH * L / dt
+
+
+def bench_server_envelope(server_fps):
+    """The ≥1x-realtime END-TO-END operating envelope: the largest PACED
+    producer rate (a live 21-channel array at fs = rate * L) the full
+    server chain sustains in THIS environment — the measured counterpart
+    of the reference's defining real-time property (it runs 21ch at
+    2.048 Msps on a RockPI with documented dropouts, README.md:42, and
+    documents a 250 kHz fallback, install_on_rpi:5). A paced run passes
+    when measured frames/s >= 97% of the target (a lagging server drops
+    ring frames and measures below target). Candidates bracket the
+    unpaced ceiling and always include the reference's 250 kHz fallback
+    point. Returns (verified_fs_hz, fps_at_that_point, realtime_at_250k).
+    The unpaced `server_samples_per_s` remains tunnel-bound (PERF r2 #6);
+    this field shows where the chain IS realtime despite that."""
+    if server_fps <= 0:
+        return 0.0, 0.0, 0
+    fps250 = 250e3 / L
+    cands = sorted({0.85 * server_fps, 0.60 * server_fps, fps250},
+                   reverse=True)
+    port = 16655
+    best_fs, best_fps, rt250 = 0.0, 0.0, 0
+    tested250 = False
+    for tgt in cands:
+        fps, _ = bench_server(
+            n_blocks=120, warmup=16, rate_fps=tgt, port_base=port
+        )
+        port += 10
+        tested250 = tested250 or tgt <= fps250 + 1e-9
+        if fps >= 0.97 * tgt:
+            best_fs, best_fps = tgt * L, fps
+            rt250 = 1 if best_fs >= 250e3 - 1e-6 else 0
+            break  # candidates descend; first sustained = the envelope
+    if not rt250 and not tested250:
+        # explicitly verify the reference 250 kHz fallback point
+        fps, _ = bench_server(
+            n_blocks=120, warmup=16, rate_fps=fps250, port_base=port
+        )
+        if fps >= 0.97 * fps250:
+            rt250 = 1
+            if best_fs == 0.0:
+                best_fs, best_fps = 250e3, fps
+    return best_fs, best_fps, rt250
 
 
 def main():
@@ -425,19 +590,31 @@ def main():
         scan8_fused = bench_streaming_scan(scan_k=8, **FUSED)
         scan32_pipelined = bench_streaming_scan_pipelined(**FUSED)
         scan8_pipelined = bench_streaming_scan_pipelined(scan_k=8, **FUSED)
+        scan8_packed = bench_streaming_packed(scan_k=8)
         floor_ms = bench_dispatch_floor()
+        sharded_floor_ms = bench_sharded_dispatch_floor()
         issue_ms, serial_ms, burst_ms = bench_dispatch_pipelining()
         offline = bench_offline()
         scan = bench_streaming_scan()
         single = bench_streaming_single(**FUSED)
         sharded = bench_sharded_1x1()
         sharded_fused = bench_sharded_fused_1x1()
+        fused_time_sharded = bench_fused_time_sharded_1x1()
         sharded_server = bench_sharded_server_scan_1x1()
         phase_rms, lag_rms = bench_quality()
         server_fps, server_sps = bench_server()
+        env_fs, env_fps, rt250 = bench_server_envelope(server_fps)
     best_off = max(offline, offline_fused)
     best_scan = max(scan, scan_fused, scan32_pipelined)
     value = max(best_off, best_scan)
+    # Roofline accounting for the headline fused engine (see
+    # fused_cost_model): achieved GB/s / TFLOP/s from the modeled
+    # per-sample traffic at the measured rate, as fractions of the chip's
+    # 819 GB/s HBM and 197 bf16 TFLOP/s peaks.
+    bps, fps_model = fused_cost_model()
+    best_fused = max(offline_fused, sharded_fused, fused_time_sharded)
+    gbps = best_fused * bps / 1e9
+    tflops = best_fused * fps_model / 1e12
     print(
         json.dumps(
             {
@@ -459,16 +636,31 @@ def main():
                 "streaming_scan8_pipelined_samples_per_s": round(
                     scan8_pipelined, 1
                 ),
+                "streaming_scan8_packed_samples_per_s": round(
+                    scan8_packed, 1
+                ),
                 "streaming_single_samples_per_s": round(single, 1),
                 "dispatch_floor_ms": round(floor_ms, 3),
+                "sharded_dispatch_floor_ms": round(sharded_floor_ms, 3),
                 "dispatch_issue_ms": round(issue_ms, 3),
                 "dispatch_serial_ms": round(serial_ms, 3),
                 "dispatch_burst_ms": round(burst_ms, 3),
                 "sharded_1x1_samples_per_s": round(sharded, 1),
                 "sharded_fused_samples_per_s": round(sharded_fused, 1),
+                "fused_time_sharded_samples_per_s": round(
+                    fused_time_sharded, 1
+                ),
                 "sharded_server_scan32_samples_per_s": round(
                     sharded_server, 1
                 ),
+                "sharded_over_unsharded_ratio": round(
+                    sharded_server / scan32_pipelined, 3
+                ),
+                "fused_modeled_bytes_per_sample": round(bps, 2),
+                "fused_achieved_GBps": round(gbps, 1),
+                "fused_frac_hbm_peak": round(gbps / HBM_PEAK_GBPS, 4),
+                "fused_achieved_TFLOPs": round(tflops, 2),
+                "fused_frac_mxu_peak": round(tflops / MXU_PEAK_TFLOPS, 4),
                 "streaming_realtime_factor": round(
                     best_scan / BASELINE_SAMPLES_PER_S, 3
                 ),
@@ -479,6 +671,9 @@ def main():
                 "server_realtime_factor": round(
                     server_sps / BASELINE_SAMPLES_PER_S, 3
                 ),
+                "server_max_realtime_fs": round(env_fs, 1),
+                "server_max_realtime_fps": round(env_fps, 1),
+                "server_realtime_at_250k": rt250,
                 "device": str(jax.devices()[0]),
             }
         )

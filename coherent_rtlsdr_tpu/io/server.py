@@ -27,6 +27,8 @@ from coherent_rtlsdr_tpu.pipeline.state import (
     TELEMETRY_COLS,
     PipelineConfig,
     PipelineState,
+    pack_state_host,
+    unpack_state_host,
 )
 from coherent_rtlsdr_tpu.utils.telemetry import TelemetryRecorder
 
@@ -153,9 +155,44 @@ class CoherentServer:
         # 64x tile-bloated on device (see pipeline/step.py layout rule)
         self._flat = cfg.fft_impl == "fused"
         self._build_jits(cfg)
-        self.state: PipelineState = init_state(cfg)
+        self.state = init_state(cfg)
         if state_path and os.path.exists(state_path):
             self.restore_state(state_path)
+
+    # ---- pipeline state storage -----------------------------------------
+    # The unsharded hot loop carries the PACKED state triple (three tensors
+    # instead of 11 leaves — per-dispatch issue cost scales with leaf
+    # count, docs/PERF.md round 4; pipeline/state.pack_state). `state` is
+    # the PipelineState VIEW for the rare host touchpoints (status,
+    # checkpoint, hot-plug, tests); reading it fetches the packed tensors,
+    # assigning it repacks. The sharded (mesh) path carries the plain
+    # PipelineState — its leaves need per-leaf partition specs.
+
+    @property
+    def state(self) -> PipelineState:
+        if self._packed:
+            return unpack_state_host(*self._st)
+        return self._st
+
+    @state.setter
+    def state(self, s: PipelineState) -> None:
+        if self._packed:
+            self._st = pack_state_host(s)
+        else:
+            self._st = s
+
+    def _delays_host(self) -> np.ndarray:
+        """Applied per-channel delays, fetching ONLY the small packed
+        tensor (the hw-relief tick runs at 4 Hz — never pull the hist
+        planes for it)."""
+        if self._packed:
+            return np.asarray(self._st[0])[:, 0]
+        return np.asarray(self._st.delay)
+
+    def _block_idx_host(self) -> int:
+        if self._packed:
+            return int(np.asarray(self._st[1])[0, 3])
+        return int(np.asarray(self._st.block_idx))
 
     def capture_stderr(self) -> None:
         """-q mode: redirect OS-level stderr (fd 2) into the console ``log``
@@ -182,24 +219,12 @@ class CoherentServer:
         threading.Thread(target=drain, daemon=True).start()
 
     def _build_jits(self, cfg: PipelineConfig) -> None:
-        import jax
-
-        from coherent_rtlsdr_tpu.ops.convert import c64_to_i8_iq
-        from coherent_rtlsdr_tpu.pipeline import step
-        from coherent_rtlsdr_tpu.pipeline.state import pack_telemetry
-
-        def _step(state, sig_u8, ref_u8, gate, seq):
-            new_state, out = step(cfg, state, sig_u8, ref_u8, gate, seq=seq)
-            if out.wire is not None:  # fused path: int8 straight from kernel
-                wire_sig, wire_ref = out.wire, out.wire_ref
-            else:
-                wire_sig = c64_to_i8_iq(out.aligned)    # [N, L, 2] int8
-                wire_ref = c64_to_i8_iq(out.ref)        # [L, 2] int8
-            # telemetry leaves travel packed: one output buffer + one fetch
-            # instead of nine (round-4 probe: ~0.4 ms/dispatch of the
-            # single-block burst rate was telemetry leaf overhead)
-            return new_state, wire_sig, wire_ref, pack_telemetry(out.telemetry)
-
+        # Both jit families emit int8 wire blocks + telemetry packed into
+        # ONE [.., N, 10] tensor (round-4 probe: per-dispatch cost scales
+        # with leaf count; the worker fetches one array per batch). The
+        # unsharded path additionally packs the carried STATE to three
+        # tensors (pipeline/state.pack_state — the 11-leaf state was the
+        # remaining per-call cost, docs/PERF.md round 4 #6).
         self.cfg = cfg
         self.n_jit_builds += 1
         if self.mesh is not None:
@@ -207,18 +232,22 @@ class CoherentServer:
                 make_sharded_server_jits,
             )
 
+            self._packed = False
             self._step, self._scan = make_sharded_server_jits(
                 cfg, self.mesh, scan_depth=self.scan_depth
             )
             return
-        self._step = jax.jit(_step, donate_argnums=(0,))
-        self._scan = None
-        if self.scan_depth > 1:
-            from coherent_rtlsdr_tpu.pipeline.drivers import make_scan_runner
+        from coherent_rtlsdr_tpu.pipeline.drivers import (
+            make_packed_scan_runner,
+            make_packed_step,
+        )
 
-            self._scan = make_scan_runner(
-                cfg, emit_wire=True, donate=True, pack_telem=True
-            )
+        self._packed = True
+        self._step = make_packed_step(cfg, donate=True)
+        self._scan = (
+            make_packed_scan_runner(cfg, donate=True)
+            if self.scan_depth > 1 else None
+        )
 
     # ---- channel padding (hot-plug without recompile) --------------------
 
@@ -342,7 +371,7 @@ class CoherentServer:
         # ref-channel wire seqnum base: blocks processed so far (the state's
         # block_idx, fetched ONCE — per-frame fetches would serialize the
         # pipeline on a device sync)
-        base = int(np.asarray(self.state.block_idx))
+        base = self._block_idx_host()
         pubq: _queue.Queue = _queue.Queue(maxsize=2)
         pub_err = []
         published = [0]
@@ -423,8 +452,8 @@ class CoherentServer:
                     sigs = jnp.asarray(sigs)
                     refs = jnp.asarray(refs)
                     seqs = jnp.asarray(np.stack([p[1] for p in padded]))
-                    self.state, (wire_sigs, wire_refs), telem = self._scan(
-                        self.state, sigs, refs, gate, seqs
+                    self._st, (wire_sigs, wire_refs), telem = self._scan(
+                        self._st, sigs, refs, gate, seqs
                     )
                     if not qput(dict(
                         wire_sigs=wire_sigs, wire_refs=wire_refs, telem=telem,
@@ -439,8 +468,8 @@ class CoherentServer:
                         if self._flat:
                             sp = sp.reshape(n_jit, -1)
                             ref_u8 = np.asarray(ref_u8).reshape(-1)
-                        self.state, wire_sig, wire_ref, telem = self._step(
-                            self.state, jnp.asarray(sp), jnp.asarray(ref_u8),
+                        self._st, wire_sig, wire_ref, telem = self._step(
+                            self._st, jnp.asarray(sp), jnp.asarray(ref_u8),
                             gate, jnp.asarray(sq),
                         )
                         if not qput(dict(
@@ -469,7 +498,7 @@ class CoherentServer:
                     if now >= self._hw_relief_next:
                         self._hw_relief_next = now + 0.25
                         self.hw_relief.tick(
-                            np.asarray(self.state.delay)[: self.n_active]
+                            self._delays_host()[: self.n_active]
                         )
         finally:
             if pub_err:

@@ -85,6 +85,10 @@ def _load():
     lib.chost_producer_zmq_start.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.chost_producer_pushed.restype = ctypes.c_uint64
     lib.chost_producer_pushed.argtypes = [ctypes.c_void_p]
+    lib.chost_producer_hdr_frames.restype = ctypes.c_uint64
+    lib.chost_producer_hdr_frames.argtypes = [ctypes.c_void_p]
+    lib.chost_producer_rejected.restype = ctypes.c_uint64
+    lib.chost_producer_rejected.argtypes = [ctypes.c_void_p]
     lib.chost_producer_error.restype = ctypes.c_int
     lib.chost_producer_error.argtypes = [ctypes.c_void_p]
     lib.chost_producer_running.restype = ctypes.c_int
@@ -288,9 +292,15 @@ class NativeProducer:
         capture file of contiguous ring blocks, optionally paced to a block
         rate (simulating a live array's timing);
       * ``NativeProducer.zmq(ring, addr)`` — SUB-connects to a remote
-        capture daemon streaming raw header-less blocks (the czmqsdr
-        stub's intent, include/csdrdevice.h:270-272 / raw mode
-        main.cc:105,148-150).
+        capture daemon (the czmqsdr stub's intent,
+        include/csdrdevice.h:270-272). Accepts raw header-less blocks
+        (reference -R mode, main.cc:105,148-150; a synthesized frame
+        counter, gap-blind) AND seqnum-carrying header frames
+        (apps/capture_daemon.py default): their per-channel capture
+        seqnums land in the ring's per-channel tracks, so a daemon-side
+        drop gaps exactly that channel in the remote pipeline — the
+        reference's end-to-end readcnt semantics (cpacketizer.cc:142)
+        preserved across the network hop.
 
     The ring owns backpressure: a full ring drops the block and counts it
     (the reference's documented under-load failure, README.md:42), which the
@@ -326,6 +336,20 @@ class NativeProducer:
         if self._ptr is None:  # after stop(): the C object is freed
             return 0
         return self._lib.chost_producer_pushed(self._ptr)
+
+    @property
+    def hdr_frames(self) -> int:
+        """Seqnum-carrying (header) frames received (zmq producer)."""
+        if self._ptr is None:
+            return 0
+        return self._lib.chost_producer_hdr_frames(self._ptr)
+
+    @property
+    def rejected(self) -> int:
+        """Messages dropped for wrong size/geometry (zmq producer)."""
+        if self._ptr is None:
+            return 0
+        return self._lib.chost_producer_rejected(self._ptr)
 
     @property
     def running(self) -> bool:

@@ -21,7 +21,9 @@ from coherent_rtlsdr_tpu.ops.convert import c64_to_i8_iq
 from coherent_rtlsdr_tpu.pipeline.state import (
     PipelineConfig,
     PipelineState,
+    pack_state,
     pack_telemetry,
+    unpack_state,
 )
 from coherent_rtlsdr_tpu.pipeline.step import step
 
@@ -59,6 +61,55 @@ def make_scan_runner(cfg: PipelineConfig, emit_wire: bool = True,
         return state, payloads, telem
 
     return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_packed_scan_runner(cfg: PipelineConfig, donate: bool = True):
+    """The scan runner with the STATE packed to three tensors across the
+    jit boundary (state.pack_state): ``run(pstate, sigs [K,N,2L|K,N,L,2],
+    refs, gate, seqs [K,N]) -> (pstate, (wire, wire_ref), telem [K,N,10])``
+    where ``pstate = (ppack, ipack, hist)``.
+
+    Per-dispatch issue cost on this backend is ~0.13 ms per argument/output
+    LEAF (docs/PERF.md round 4 #2/#6): 11 state leaves in + out dominate
+    the small-K streaming dispatch, so the production server carries the
+    packed triple and unpacks only at rare host touchpoints (status,
+    checkpoint, hot-plug). Telemetry is always packed here. The scan body
+    runs on the ordinary PipelineState — packing is boundary-only glue
+    that XLA fuses away."""
+
+    def run(pstate, sigs, refs, gate, seqs):
+        state = unpack_state(*pstate)
+
+        def body(s, blk):
+            s2, out = step(cfg, s, blk[0], blk[1], gate, seq=blk[2])
+            if out.wire is not None:
+                payload = (out.wire, out.wire_ref)
+            else:
+                payload = (c64_to_i8_iq(out.aligned), c64_to_i8_iq(out.ref))
+            return s2, (payload, pack_telemetry(out.telemetry))
+
+        state, (payloads, telem) = jax.lax.scan(body, state, (sigs, refs, seqs))
+        return pack_state(state), payloads, telem
+
+    return jax.jit(run, donate_argnums=(0,) if donate else ())
+
+
+def make_packed_step(cfg: PipelineConfig, donate: bool = True):
+    """Single-block twin of :func:`make_packed_scan_runner`:
+    ``run(pstate, sig, ref, gate, seq) -> (pstate, wire, wire_ref,
+    telem [N, 10])`` — the latency-optimal dispatch with the minimum leaf
+    count (3 state + 3 data in; 3 state + 3 out)."""
+
+    def run(pstate, sig_u8, ref_u8, gate, seq):
+        state = unpack_state(*pstate)
+        state, out = step(cfg, state, sig_u8, ref_u8, gate, seq=seq)
+        if out.wire is not None:
+            wire, wire_ref = out.wire, out.wire_ref
+        else:
+            wire, wire_ref = c64_to_i8_iq(out.aligned), c64_to_i8_iq(out.ref)
+        return pack_state(state), wire, wire_ref, pack_telemetry(out.telemetry)
+
+    return jax.jit(run, donate_argnums=(0,) if donate else ())
 
 
 def run_capture(

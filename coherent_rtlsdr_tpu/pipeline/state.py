@@ -129,6 +129,113 @@ def pack_telemetry(t: Telemetry) -> jnp.ndarray:
     ], axis=-1)
 
 
+# Packed-state layout across the jit boundary (pack_state / unpack_state).
+# Per-dispatch issue overhead on this backend scales with the argument/
+# output LEAF count (~2 ms/call on the 15-leaf step vs 0.2 ms on a 1-arg
+# toy — docs/PERF.md round 4), and the streaming state crosses the boundary
+# every dispatch in AND out. Packing the 11 PipelineState leaves into THREE
+# dense tensors cuts that flat cost directly; XLA fuses the stack/slice
+# glue into the neighboring ops.
+PPACK_COLS = ("delay", "phase_re", "phase_im", "lag", "mag", "papr")
+IPACK_COLS = ("synced", "last_seq", "gaps", "block_idx")
+
+
+def pack_state(s: PipelineState):
+    """PipelineState as THREE tensors (use inside jit; see pack_state_host
+    for the eager edge):
+
+      ppack [N, 6] f32  — PPACK_COLS
+      ipack [N, 4] i32  — IPACK_COLS (last_seq bitcast u32->i32 lossless;
+                          block_idx replicated down the column)
+      hist  [N+1, ...]  — ref_hist row 0 + per-channel hist rows (the
+                          capture frame layout, ref first)
+    """
+    ppack = jnp.stack(
+        [s.delay, s.phase[..., 0], s.phase[..., 1], s.lag, s.mag, s.papr],
+        axis=-1,
+    )
+    ipack = jnp.stack(
+        [
+            s.synced.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(s.last_seq, jnp.int32),
+            s.gaps,
+            jnp.broadcast_to(s.block_idx, s.gaps.shape),
+        ],
+        axis=-1,
+    )
+    hist = jnp.concatenate([s.ref_hist[None], s.hist], axis=0)
+    return ppack, ipack, hist
+
+
+def unpack_state(ppack, ipack, hist) -> PipelineState:
+    """Inverse of :func:`pack_state` (exact: every leaf round-trips
+    bit-identically)."""
+    return PipelineState(
+        delay=ppack[:, 0],
+        phase=ppack[:, 1:3],
+        lag=ppack[:, 3],
+        mag=ppack[:, 4],
+        papr=ppack[:, 5],
+        synced=ipack[:, 0].astype(bool),
+        last_seq=jax.lax.bitcast_convert_type(ipack[:, 1], jnp.uint32),
+        gaps=ipack[:, 2],
+        block_idx=ipack[0, 3],
+        hist=hist[1:],
+        ref_hist=hist[0],
+    )
+
+
+def pack_state_host(s: PipelineState):
+    """Eager-edge pack: numpy on host, ONE upload per packed tensor (never
+    eager device ops — pathological on this backend)."""
+    import numpy as np
+
+    delay = np.asarray(s.delay, np.float32)
+    phase = np.asarray(s.phase, np.float32)
+    ppack = np.stack(
+        [delay, phase[..., 0], phase[..., 1],
+         np.asarray(s.lag, np.float32), np.asarray(s.mag, np.float32),
+         np.asarray(s.papr, np.float32)],
+        axis=-1,
+    )
+    n = delay.shape[0]
+    ipack = np.stack(
+        [
+            np.asarray(s.synced).astype(np.int32),
+            np.asarray(s.last_seq, np.uint32).view(np.int32),
+            np.asarray(s.gaps, np.int32),
+            np.full(n, int(np.asarray(s.block_idx)), np.int32),
+        ],
+        axis=-1,
+    )
+    hist = np.concatenate(
+        [np.asarray(s.ref_hist)[None], np.asarray(s.hist)], axis=0
+    )
+    return jnp.asarray(ppack), jnp.asarray(ipack), jnp.asarray(hist)
+
+
+def unpack_state_host(ppack, ipack, hist) -> PipelineState:
+    """Eager-edge unpack (fetches the packed tensors; numpy slicing)."""
+    import numpy as np
+
+    pp = np.asarray(ppack)
+    ip = np.asarray(ipack)
+    hp = np.asarray(hist)
+    return PipelineState(
+        delay=jnp.asarray(pp[:, 0]),
+        phase=jnp.asarray(np.ascontiguousarray(pp[:, 1:3])),
+        lag=jnp.asarray(pp[:, 3]),
+        mag=jnp.asarray(pp[:, 4]),
+        papr=jnp.asarray(pp[:, 5]),
+        synced=jnp.asarray(ip[:, 0].astype(bool)),
+        last_seq=jnp.asarray(np.ascontiguousarray(ip[:, 1]).view(np.uint32)),
+        gaps=jnp.asarray(np.ascontiguousarray(ip[:, 2])),
+        block_idx=jnp.asarray(np.int32(ip[0, 3])),
+        hist=jnp.asarray(hp[1:]),
+        ref_hist=jnp.asarray(hp[0]),
+    )
+
+
 class BlockOutput(struct.PyTreeNode):
     """``aligned``/``ref`` are complex64 — valid INSIDE a jitted program and
     on CPU; TPU callers must reduce them to real dtypes (int8 wire format /

@@ -365,6 +365,8 @@ struct Producer {
   // zmq receiver
   void *zctx = nullptr;
   void *zsock = nullptr;
+  std::atomic<uint64_t> hdr_frames{0};   // seqnum-carrying frames received
+  std::atomic<uint64_t> rejected{0};     // wrong-size/geometry messages
 };
 
 void file_producer_main(Producer *p) {
@@ -397,16 +399,59 @@ void file_producer_main(Producer *p) {
   p->done.store(true);
 }
 
+// Network ingest accepts BOTH daemon wire modes per message:
+//   * raw: exactly block_bytes of u8 capture samples (the reference's -R
+//     mode, src/main.cc:105,148-150) — carries NO seqnums, so a local
+//     frame counter is synthesized and upstream drops are invisible;
+//   * header: the reference wire frame (hdr0 {gseq, N, L} + N x u32
+//     per-channel seqnums + N*L*2 int8 payload, include/cpacketizer.h:32-37)
+//     — the daemon's per-device capture seqnums (the reference's `readcnt`,
+//     src/cpacketizer.cc:142) are pushed into the ring's per-channel
+//     tracks, so a capture-side drop on the daemon host gaps EXACTLY that
+//     channel in the remote pipeline (in-pipeline gap detection stays live
+//     across the network hop). Wire payload is signed int8 (u8 ^ 0x80,
+//     cdsp::convtosigned); the ring carries raw u8, so the offset is
+//     re-applied here (one pass, auto-vectorized).
 void zmq_producer_main(Producer *p) {
   auto &z = zmqdl::api();
-  std::vector<uint8_t> buf(p->ring->block_bytes);
+  const size_t payload_bytes = p->ring->block_bytes;
+  const uint32_t n_tracks = p->ring->n_seq;
+  // headroom for hdr0 + seqnums of up to 4096 channels (a hostile header
+  // claiming more fails the exact-length check below)
+  std::vector<uint8_t> buf(payload_bytes + sizeof(Hdr0) + 4 * 4096);
+  std::vector<uint64_t> seqs(n_tracks ? n_tracks : 1);
   uint64_t seq = 0;
   while (!p->stop.load(std::memory_order_relaxed)) {
     int n = z.recv(p->zsock, buf.data(), buf.size(), 0);
     if (n < 0) continue;  // RCVTIMEO poll tick
-    if (static_cast<size_t>(n) != buf.size()) continue;  // not a raw block
-    chost_ring_push(p->ring, buf.data(), ++seq);
-    p->pushed.fetch_add(1, std::memory_order_relaxed);
+    if (static_cast<size_t>(n) == payload_bytes) {  // raw block
+      chost_ring_push(p->ring, buf.data(), ++seq);
+      p->pushed.fetch_add(1, std::memory_order_relaxed);
+      continue;
+    }
+    if (static_cast<size_t>(n) >= sizeof(Hdr0)) {
+      Hdr0 h;
+      std::memcpy(&h, buf.data(), sizeof(h));
+      size_t pay = size_t(2) * h.N * h.L;
+      if (pay == payload_bytes &&
+          static_cast<size_t>(n) == sizeof(Hdr0) + 4 * size_t(h.N) + pay) {
+        const uint8_t *sp = buf.data() + sizeof(Hdr0);
+        uint32_t nn = h.N < seqs.size() ? h.N : uint32_t(seqs.size());
+        for (uint32_t i = 0; i < nn; ++i) {
+          uint32_t v;
+          std::memcpy(&v, sp + 4 * size_t(i), 4);
+          seqs[i] = v;
+        }
+        uint8_t *pl = buf.data() + sizeof(Hdr0) + 4 * size_t(h.N);
+        for (size_t i = 0; i < pay; ++i) pl[i] ^= 0x80;
+        chost_ring_push_n(p->ring, pl, seqs.data(), nn);
+        p->pushed.fetch_add(1, std::memory_order_relaxed);
+        p->hdr_frames.fetch_add(1, std::memory_order_relaxed);
+        ++seq;
+        continue;
+      }
+    }
+    p->rejected.fetch_add(1, std::memory_order_relaxed);
   }
   p->done.store(true);
 }
@@ -454,6 +499,17 @@ void *chost_producer_zmq_start(void *ring, const char *addr) {
 
 uint64_t chost_producer_pushed(void *pv) {
   return static_cast<Producer *>(pv)->pushed.load();
+}
+
+// Seqnum-carrying (header) frames received by a ZMQ producer.
+uint64_t chost_producer_hdr_frames(void *pv) {
+  return static_cast<Producer *>(pv)->hdr_frames.load();
+}
+
+// Messages rejected for wrong size/geometry (neither a raw block of
+// block_bytes nor a header frame whose hdr0 matches its length).
+uint64_t chost_producer_rejected(void *pv) {
+  return static_cast<Producer *>(pv)->rejected.load();
 }
 
 int chost_producer_error(void *pv) {

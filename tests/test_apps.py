@@ -202,6 +202,97 @@ class TestCaptureDaemon:
         assert frame.iq.shape == (3, 256, 2)  # ref + 2 signal channels
 
 
+    def test_daemon_drop_gaps_exactly_that_channel_downstream(self, tmp_path):
+        """The seqnum-carrying chain (VERDICT r4 missing #2): daemon
+        (--wire header, injected per-channel drops) --ZMQ--> native SUB
+        producer --> per-channel ring tracks --> pipeline. A capture-side
+        drop on the daemon HOST must gap exactly that channel in the
+        REMOTE server's published seqnums — readcnt semantics end to end
+        (cpacketizer.cc:142) across the network hop, where the old raw
+        chain synthesized contiguous seqnums and was gap-blind."""
+        pytest.importorskip("coherent_rtlsdr_tpu.native")
+        from coherent_rtlsdr_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        from coherent_rtlsdr_tpu.io.wire import unpack_frame
+
+        dport, sport = PORT + 40, PORT + 43
+        derr = open(str(tmp_path / "daemon.err"), "w")
+        serr = open(str(tmp_path / "server.err"), "w")
+        daemon = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "apps", "capture_daemon.py"),
+             "-n", "2", "-b", "256", "--rate", "200", "--wire", "header",
+             "--drop-rate", "0.15", "--seed", "6",
+             "-A", f"tcp://127.0.0.1:{dport}", "--blocks", "6000"],
+            stdout=subprocess.PIPE, stderr=derr, text=True, cwd=REPO,
+        )
+        server = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "apps", "coherent_server.py"),
+             "--cpu", "--source", "ring",
+             "--ingest", f"zmq:tcp://127.0.0.1:{dport}",
+             "-n", "2", "-b", "256", "--blocks", "4000",
+             "-A", f"tcp://127.0.0.1:{sport}",
+             "--ctrl-address", f"tcp://127.0.0.1:{sport + 1}",
+             "--debug-address", f"tcp://127.0.0.1:{sport + 2}"],
+            stdout=subprocess.PIPE, stderr=serr, text=True, cwd=REPO,
+        )
+        frames = []
+        status = ""
+        try:
+            ctx = zmq.Context()
+            sub = ctx.socket(zmq.SUB)
+            sub.setsockopt(zmq.SUBSCRIBE, b"")
+            sub.setsockopt(zmq.RCVTIMEO, 1000)
+            sub.connect(f"tcp://127.0.0.1:{sport}")
+            deadline = time.time() + 180
+            while len(frames) < 60 and time.time() < deadline:
+                if server.poll() is not None:
+                    break
+                try:
+                    frames.append(unpack_frame(sub.recv()))
+                except zmq.Again:
+                    continue
+            if frames:
+                ctl = ctx.socket(zmq.DEALER)
+                ctl.setsockopt(zmq.RCVTIMEO, 10000)
+                ctl.connect(f"tcp://127.0.0.1:{sport + 1}")
+                ctl.send_string("status")
+                try:
+                    status = ctl.recv().decode()
+                except zmq.Again:
+                    pass
+                ctl.close(0)
+            sub.close(0)
+            ctx.term()
+        finally:
+            for p in (daemon, server):
+                p.terminate()
+            for p in (daemon, server):
+                try:
+                    p.communicate(timeout=60)
+                except subprocess.TimeoutExpired:
+                    p.kill()
+                    p.communicate()
+            derr.close()
+            serr.close()
+        assert len(frames) >= 40, len(frames)
+        # per-channel wire seqnums: [T, 3] (ref + 2 signal channels)
+        seqs = np.stack([f.seqnums for f in frames]).astype(np.int64)
+        d = seqs[1:] - seqs[:-1]
+        # consider only steps where the ref advanced by exactly 1 (no
+        # frame-level ring drop): a daemon-injected per-channel drop shows
+        # as ONE signal channel jumping while the others stay contiguous
+        clean = d[d[:, 0] == 1]
+        assert len(clean) >= 20
+        per_ch_gap = (clean[:, 1:] > 1) & ~np.all(clean[:, 1:] > 1,
+                                                  axis=1, keepdims=True)
+        assert per_ch_gap.any(), clean[:20]
+        # and the pipeline SAW them: in-pipeline gap counters are nonzero
+        assert "seqnum gaps:" in status
+        gaps_total = int(status.split("seqnum gaps:")[1].split()[0])
+        assert gaps_total > 0, status
+
+
 class TestServerTrace:
     def test_trace_flag_writes_profile(self, tmp_path):
         """--trace DIR captures a JAX profiler trace of the hot loop
@@ -273,6 +364,52 @@ class TestMusicFollow:
         m = scipy_io.loadmat(mat)
         assert m["x"].dtype == np.complex64 and m["x"].shape[1] == n_ch - 1
         assert m["P"].shape == (24, 24)
+
+    def test_plot_renders_png_headless(self, tmp_path):
+        """--plot FILE: the heatmap2d2.cpp live-surface analog must render
+        a real PNG per --follow iteration on a display-less box (Agg)."""
+        port = PORT + 9
+        feeder = _Feeder(port, _rand_frames(4, 7, 128, seed=3),
+                         period_s=0.02)
+        out = str(tmp_path / "hm.npy")
+        png = str(tmp_path / "hm.png")
+        errf = open(str(tmp_path / "client.err"), "w+")
+        env = dict(os.environ, MPLBACKEND="Agg")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "apps", "music_client.py"),
+             "-a", f"tcp://127.0.0.1:{port}", "--follow",
+             "--frames", "2", "--rows", "3", "--cols", "2",
+             "--grid", "24", "-o", out, "--plot", png,
+             "--timeout-ms", "10000"],
+            stdout=subprocess.PIPE, stderr=errf, text=True, cwd=REPO,
+            env=env,
+        )
+        try:
+            deadline = time.time() + 90
+            seen = ""
+            while time.time() < deadline:
+                if os.path.exists(png) and "[1]" in seen:
+                    break
+                line = proc.stdout.readline()
+                if not line:
+                    break
+                seen += line
+                if proc.poll() is not None:
+                    break
+            errf.seek(0)
+            err_tail = errf.read()[-2000:]
+            assert "[1] peak at" in seen, (seen, err_tail)
+        finally:
+            proc.terminate()
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+            feeder.stop()
+            errf.close()
+        with open(png, "rb") as f:
+            magic = f.read(8)
+        assert magic[:4] == b"\x89PNG", magic
 
 
 class TestAlignOfflineCli:

@@ -108,3 +108,30 @@ class TestBenchPaths:
         assert _finite_positive(
             bench.bench_sharded_server_scan_1x1(scan_k=2, chain=2)
         )
+
+    def test_fused_time_sharded_1x1(self, bench):
+        assert _finite_positive(bench.bench_fused_time_sharded_1x1())
+
+    def test_streaming_packed(self, bench):
+        assert _finite_positive(
+            bench.bench_streaming_packed(scan_k=2, chain=2)
+        )
+
+    def test_sharded_dispatch_floor(self, bench):
+        assert _finite_positive(bench.bench_sharded_dispatch_floor())
+
+    def test_cost_model(self, bench):
+        bps, fps = bench.fused_cost_model()
+        assert 20 < bps < 40       # ~26.8 B/sample at 21ch/nc=7
+        assert 5e3 < fps < 3e4     # ~12 kFLOP/sample at m=64 (tiny L)
+
+    def test_server_envelope_paced(self, bench):
+        from coherent_rtlsdr_tpu import native
+
+        if not native.available():
+            pytest.skip("native library not built")
+        # a paced run at a trivially sustainable rate must verify realtime
+        fps, sps = bench.bench_server(
+            n_blocks=4, warmup=2, rate_fps=1000.0, port_base=17655
+        )
+        assert _finite_positive(fps)

@@ -4,6 +4,7 @@ one-block-per-call path exactly (same state trajectory, same wire bytes)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from coherent_rtlsdr_tpu.ops.convert import c64_to_i8_iq
 from coherent_rtlsdr_tpu.pipeline import PipelineConfig, init_state, step
@@ -70,6 +71,102 @@ class TestScanRunner:
             assert np.abs(iq1.astype(np.int16) - iq2.astype(np.int16)).max() <= 1
             np.testing.assert_array_equal(s1, s2)
             np.testing.assert_allclose(p1, p2, atol=1e-5)
+
+
+class TestPackedState:
+    """The packed-state jit boundary (state.pack_state: 11 leaves -> 3
+    tensors, the production server's carry) must be numerically invisible."""
+
+    def _trajectory_state(self, cfg, cap, T=4):
+        state = init_state(cfg)
+        gate = jnp.array(True)
+        jstep = jax.jit(lambda s, a, b: step(cfg, s, a, b, gate))
+        for t in range(T):
+            state, _ = jstep(state, cap.sig_u8[t], cap.ref_u8[t])
+        return state
+
+    @pytest.mark.parametrize("impl", ["xla", "fused"])
+    def test_pack_roundtrip_exact(self, impl):
+        from coherent_rtlsdr_tpu.pipeline.state import (
+            pack_state_host,
+            unpack_state_host,
+        )
+
+        Lp = 2048 if impl == "fused" else L
+        kw = (dict(fft_impl="fused", lag_method="phase_zoom")
+              if impl == "fused" else {})
+        cfg = PipelineConfig(n_channels=3, block_len=Lp, **kw)
+        truth = make_truth(3, seed=11, max_delay=20.0, snr_db=30.0)
+        cap = synth_capture(jax.random.PRNGKey(11), truth, n_blocks=4,
+                            block_len=Lp)
+        # seed a mid-stream state so every leaf is non-trivial (incl. a
+        # large last_seq exercising the u32<->i32 bitcast)
+        s = self._trajectory_state(cfg, cap)
+        s = s.replace(last_seq=s.last_seq + jnp.uint32(0xC0000000))
+        rt = unpack_state_host(*pack_state_host(s))
+        for name in s.__dataclass_fields__:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(rt, name)), np.asarray(getattr(s, name)),
+                err_msg=name,
+            )
+            assert getattr(rt, name).dtype == getattr(s, name).dtype, name
+
+    @pytest.mark.parametrize("impl", ["xla", "fused"])
+    def test_packed_scan_matches_unpacked(self, impl):
+        from coherent_rtlsdr_tpu.pipeline.drivers import (
+            make_packed_scan_runner,
+            make_packed_step,
+            make_scan_runner,
+        )
+        from coherent_rtlsdr_tpu.pipeline.state import (
+            pack_state_host,
+            unpack_state_host,
+        )
+
+        Lp = 2048 if impl == "fused" else L
+        kw = (dict(fft_impl="fused", lag_method="phase_zoom")
+              if impl == "fused" else {})
+        cfg = PipelineConfig(n_channels=3, block_len=Lp, **kw)
+        truth = make_truth(3, seed=12, max_delay=20.0, snr_db=30.0)
+        cap = synth_capture(jax.random.PRNGKey(12), truth, n_blocks=6,
+                            block_len=Lp)
+        sigs, refs = cap.sig_u8, cap.ref_u8
+        if impl == "fused":
+            sigs = jnp.asarray(np.asarray(sigs).reshape(6, 3, 2 * Lp))
+            refs = jnp.asarray(np.asarray(refs).reshape(6, 2 * Lp))
+        gate = jnp.array(True)
+        seqs = jnp.broadcast_to(
+            jnp.arange(1, 7, dtype=jnp.uint32)[:, None], (6, 3)
+        )
+
+        ref_run = make_scan_runner(cfg, emit_wire=True, donate=False,
+                                   pack_telem=True)
+        s_ref, (w_ref, wr_ref), t_ref = ref_run(
+            init_state(cfg), sigs, refs, gate, seqs
+        )
+
+        prun = make_packed_scan_runner(cfg, donate=False)
+        ps, (w_p, wr_p), t_p = prun(
+            pack_state_host(init_state(cfg)), sigs, refs, gate, seqs
+        )
+        s_p = unpack_state_host(*ps)
+
+        np.testing.assert_array_equal(np.asarray(w_p), np.asarray(w_ref))
+        np.testing.assert_array_equal(np.asarray(wr_p), np.asarray(wr_ref))
+        np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_ref),
+                                   atol=1e-6)
+        for name in ("delay", "phase", "lag", "mag", "synced", "last_seq",
+                     "gaps", "block_idx", "hist", "ref_hist"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(s_p, name)),
+                np.asarray(getattr(s_ref, name)), atol=1e-6, err_msg=name,
+            )
+
+        # the single-block packed step continues the same trajectory
+        pstep = make_packed_step(cfg, donate=False)
+        ps2, w1, wr1, t1 = pstep(ps, sigs[-1], refs[-1], gate, seqs[-1] + 1)
+        assert np.asarray(w1).shape == np.asarray(w_ref)[0].shape
+        assert int(np.asarray(unpack_state_host(*ps2).block_idx)) == 7
 
 
 class TestPackedTelemetry:

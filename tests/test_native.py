@@ -265,3 +265,66 @@ class TestNativeProducer:
             prod.stop()
             pub.close(0)
             ctx.term()
+
+    def test_zmq_producer_header_frames_carry_per_channel_seqnums(self):
+        """Seqnum-carrying network ingest (capture_daemon --wire header):
+        the native SUB thread parses the reference wire frame, pushes the
+        per-channel capture seqnums into the ring's tracks, and re-applies
+        the u8 offset — a daemon-side drop on ONE channel gaps exactly
+        that channel downstream (readcnt end-to-end, cpacketizer.cc:142),
+        where the raw mode is gap-blind by design."""
+        import zmq
+
+        from coherent_rtlsdr_tpu.io.wire import pack_frame
+        from coherent_rtlsdr_tpu.signal.sources import RingSource
+
+        n, L, T = 2, 64, 5
+        frames = self._frames(n, L, T, seed=4)
+        block_bytes = (n + 1) * L * 2
+
+        # per-channel seqnums; channel 1 (signal ch 0) drops a block
+        # between wire frames 2 and 3
+        seq_rows = []
+        seqs = np.ones(n + 1, np.uint32)
+        for t in range(T):
+            seq_rows.append(seqs.copy())
+            seqs = seqs + 1
+            if t == 2:
+                seqs[1] += 1  # the drop: this channel skips one readcnt
+
+        ctx = zmq.Context()
+        pub = ctx.socket(zmq.PUB)
+        pub.bind("tcp://127.0.0.1:17603")
+        ring = native.NativeBlockRing(16, block_bytes, n_seq=n + 1)
+        prod = native.NativeProducer.zmq(ring, "tcp://127.0.0.1:17603")
+        try:
+            time.sleep(0.4)  # SUB join
+            pub.send(b"\x00" * (block_bytes + 7))  # bad geometry: rejected
+            for t, fr in enumerate(frames):
+                iq = (fr ^ np.uint8(0x80)).view(np.int8)
+                pub.send(pack_frame(t, seq_rows[t], iq))
+            deadline = time.time() + 5.0
+            while prod.pushed < T and time.time() < deadline:
+                time.sleep(0.01)
+            assert prod.pushed == T
+            assert prod.hdr_frames == T
+            assert prod.rejected == 1
+
+            src = RingSource(ring, n_channels=n, block_len=L, timeout_ms=1000)
+            got_seqs = []
+            for t, fr in enumerate(frames):
+                blk = src.next_block()
+                assert blk is not None
+                sig, ref, seqs_out = blk
+                np.testing.assert_array_equal(ref, fr[0])   # offset restored
+                np.testing.assert_array_equal(sig, fr[1:])
+                got_seqs.append(seqs_out)
+            got = np.stack(got_seqs)  # [T, n] signal-channel seqnums
+            d = got[1:].astype(np.int64) - got[:-1].astype(np.int64)
+            assert d[2, 0] == 2        # the injected gap, exactly here
+            d[2, 0] = 1
+            np.testing.assert_array_equal(d, np.ones_like(d))  # rest clean
+        finally:
+            prod.stop()
+            pub.close(0)
+            ctx.term()
