@@ -71,8 +71,14 @@ def collect(addr: str, frames=None, seconds=None, timeout_ms=5000,
 
 def drift_stats(phases: np.ndarray):
     """Per-channel drift about the window mean, on the unwrapped phase
-    timeline (phasecorrectionplot.m plots angle(phasecorr) over time)."""
-    deg = np.degrees(np.unwrap(np.angle(phases), axis=0))
+    timeline (phasecorrectionplot.m plots angle(phasecorr) over time).
+
+    Statistics run in float64: angle(complex64) is float32, and NumPy's
+    strided axis-0 reduction over a [T, N] float32 array accumulates
+    naively — at 30-min recordings (~120k frames of ~-112 deg) the mean
+    was off by ~0.14 deg, dwarfing the real ~0.02 deg RMS drift (caught
+    against the round-5 soak artifact)."""
+    deg = np.degrees(np.unwrap(np.angle(phases).astype(np.float64), axis=0))
     dev = deg - deg.mean(axis=0, keepdims=True)
     return deg, np.sqrt((dev**2).mean(axis=0)), np.abs(dev).max(axis=0)
 

@@ -591,6 +591,7 @@ def main():
         scan32_pipelined = bench_streaming_scan_pipelined(**FUSED)
         scan8_pipelined = bench_streaming_scan_pipelined(scan_k=8, **FUSED)
         scan8_packed = bench_streaming_packed(scan_k=8)
+        scan32_packed = bench_streaming_packed(scan_k=SCAN_K, chain=4)
         floor_ms = bench_dispatch_floor()
         sharded_floor_ms = bench_sharded_dispatch_floor()
         issue_ms, serial_ms, burst_ms = bench_dispatch_pipelining()
@@ -639,6 +640,9 @@ def main():
                 "streaming_scan8_packed_samples_per_s": round(
                     scan8_packed, 1
                 ),
+                "streaming_scan32_packed_samples_per_s": round(
+                    scan32_packed, 1
+                ),
                 "streaming_single_samples_per_s": round(single, 1),
                 "dispatch_floor_ms": round(floor_ms, 3),
                 "sharded_dispatch_floor_ms": round(sharded_floor_ms, 3),
@@ -655,6 +659,15 @@ def main():
                 ),
                 "sharded_over_unsharded_ratio": round(
                     sharded_server / scan32_pipelined, 3
+                ),
+                # apples-to-apples arbitration (PERF r4 #8: the lean
+                # pipelined scan emits only wire+residual, flattering the
+                # unsharded side): the packed scan32 runner emits the SAME
+                # outputs as the sharded server scan (wire + wire_ref +
+                # packed telemetry), so this ratio isolates shard_map
+                # overhead itself from output-richness
+                "sharded_over_unsharded_matched_ratio": round(
+                    sharded_server / scan32_packed, 3
                 ),
                 "fused_modeled_bytes_per_sample": round(bps, 2),
                 "fused_achieved_GBps": round(gbps, 1),

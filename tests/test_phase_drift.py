@@ -43,6 +43,24 @@ class TestDriftMath:
         assert abs(peak[1] - np.abs(ramp - ramp.mean()).max()) < 1e-3
         assert np.all(np.abs(np.diff(deg[:, 1]) - 1.0) < 1e-3)
 
+    def test_drift_stats_long_recording_float32_accuracy(self):
+        """Regression (round-5 soak artifact): over a 30-min recording
+        (~120k float32 angles near -112 deg) NumPy's strided axis-0 mean
+        accumulated ~0.14 deg of float32 error — dwarfing the true
+        ~0.02 deg drift. drift_stats must compute in float64."""
+        app = _load_app()
+        rng = np.random.default_rng(0)
+        T = 120_000
+        true_rms = 0.02
+        ang = np.stack([
+            np.zeros(T),
+            np.radians(-112.78 + rng.normal(0.0, true_rms, T)),
+        ], axis=1)
+        phases = np.exp(1j * ang).astype(np.complex64)
+        _, rms, peak = app.drift_stats(phases)
+        assert abs(rms[1] - true_rms) < 0.005, rms
+        assert peak[1] < 0.2
+
     def test_ascii_plot_renders(self):
         app = _load_app()
         t = np.linspace(0, 10, 30)
