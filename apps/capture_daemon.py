@@ -37,6 +37,35 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _paced_blocks(src, rate):
+    """Rate-paced generator over a block source: yields
+    ``(frame_u8 [N+1, L, 2], seqnums [N+1] u32)`` — reference channel
+    first with its own frame counter (the ref never drops host-side),
+    signal channels carrying the source's per-channel capture seqnums."""
+    import numpy as np
+
+    def blocks():
+        period = 1.0 / rate
+        nxt = time.monotonic()
+        ref_seq = 0
+        while True:
+            blk = src.next_block()
+            if blk is None:
+                return
+            sig, ref, seqs = blk
+            ref_seq += 1
+            nxt += period
+            time.sleep(max(0.0, nxt - time.monotonic()))
+            frame = np.concatenate(
+                [np.asarray(ref)[None], np.asarray(sig)], axis=0
+            )
+            yield frame, np.concatenate(
+                [[np.uint32(ref_seq)], np.asarray(seqs, np.uint32)]
+            )
+
+    return blocks
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-n", "--nchannels", type=int, default=4)
@@ -122,25 +151,7 @@ def main():
         from coherent_rtlsdr_tpu.signal.sources import FileSource
 
         src = FileSource(load_capture(args.capture), loop=True)
-
-        def blocks():
-            period = 1.0 / rate
-            nxt = time.monotonic()
-            ref_seq = 0
-            while True:
-                blk = src.next_block()
-                if blk is None:
-                    return
-                sig, ref, seqs = blk
-                ref_seq += 1
-                nxt += period
-                time.sleep(max(0.0, nxt - time.monotonic()))
-                frame = np.concatenate(
-                    [np.asarray(ref)[None], np.asarray(sig)], axis=0
-                )
-                yield frame, np.concatenate(
-                    [[np.uint32(ref_seq)], seqs.astype(np.uint32)]
-                )
+        blocks = _paced_blocks(src, rate)
     else:
         import jax
 
@@ -151,22 +162,7 @@ def main():
         truth = make_truth(n, seed=args.seed, max_delay=40.0, snr_db=30.0)
         src = SyntheticStreamSource(truth, block_len=L, seed=args.seed,
                                     drop_rate=args.drop_rate)
-
-        def blocks():
-            period = 1.0 / rate
-            nxt = time.monotonic()
-            ref_seq = 0
-            while True:
-                sig, ref, seqs = src.next_block()
-                ref_seq += 1
-                nxt += period
-                time.sleep(max(0.0, nxt - time.monotonic()))
-                frame = np.concatenate(
-                    [np.asarray(ref)[None], np.asarray(sig)], axis=0
-                )
-                yield frame, np.concatenate(
-                    [[np.uint32(ref_seq)], seqs.astype(np.uint32)]
-                )
+        blocks = _paced_blocks(src, rate)
 
     header = args.wire == "header"
     if header:

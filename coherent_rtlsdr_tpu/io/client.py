@@ -69,6 +69,7 @@ class CoherentClient:
         self.max_retries = max_retries
         self._fc: Optional[float] = None
         self._refnoise: Optional[bool] = None
+        self._replies = False  # has this server ever sent a console reply?
 
     # ---- data plane -----------------------------------------------------
 
@@ -114,9 +115,12 @@ class CoherentClient:
         # the server loop for minutes — CLAUDE.md rule 4)
         while self._ctl.poll(0):
             self._ctl.recv()
+            self._replies = True  # a late reply still proves it replies
         self._ctl.send_string(line)
         try:
-            return self._ctl.recv().decode()
+            out = self._ctl.recv().decode()
+            self._replies = True
+            return out
         except self._zmq.Again:
             return ""
 
@@ -134,10 +138,14 @@ class CoherentClient:
         reply = self.command(f"fcenter {hz:.0f}")
         # Our server reports a failed retune ('fcenter retune FAILED ...',
         # io/server.py) and keeps the old tuning — don't let the cached fc
-        # disagree with the array. The reference binary sends no replies
-        # (command() then returns ""), which counts as success.
-        if "FAILED" not in reply:
-            self._fc = hz
+        # disagree with the array. An empty reply means either the
+        # reference binary (which never replies — success by convention)
+        # or a TIMEOUT from a server known to reply (outcome unknown, e.g.
+        # stalled in a TPU claim): only trust silence from a server that
+        # has never replied.
+        if "FAILED" in reply or (reply == "" and self._replies):
+            return
+        self._fc = hz
 
     @property
     def refnoise_enabled(self) -> Optional[bool]:

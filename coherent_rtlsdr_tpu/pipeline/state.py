@@ -215,24 +215,30 @@ def pack_state_host(s: PipelineState):
 
 
 def unpack_state_host(ppack, ipack, hist) -> PipelineState:
-    """Eager-edge unpack (fetches the packed tensors; numpy slicing)."""
+    """Eager-edge unpack: THREE device fetches, then numpy slicing. Leaves
+    are returned as NUMPY arrays, not device arrays — the host touchpoints
+    that consume this view (status table, checkpoint save, hot-plug remap,
+    tests) read with np.asarray anyway, and re-uploading 11 leaves per
+    console command would cost ~11 needless transfers on a backend with a
+    13-26 ms per-sync RTT. pack_state_host accepts numpy leaves, so a
+    replace()d view rides straight back into the packed carry."""
     import numpy as np
 
     pp = np.asarray(ppack)
     ip = np.asarray(ipack)
     hp = np.asarray(hist)
     return PipelineState(
-        delay=jnp.asarray(pp[:, 0]),
-        phase=jnp.asarray(np.ascontiguousarray(pp[:, 1:3])),
-        lag=jnp.asarray(pp[:, 3]),
-        mag=jnp.asarray(pp[:, 4]),
-        papr=jnp.asarray(pp[:, 5]),
-        synced=jnp.asarray(ip[:, 0].astype(bool)),
-        last_seq=jnp.asarray(np.ascontiguousarray(ip[:, 1]).view(np.uint32)),
-        gaps=jnp.asarray(np.ascontiguousarray(ip[:, 2])),
-        block_idx=jnp.asarray(np.int32(ip[0, 3])),
-        hist=jnp.asarray(hp[1:]),
-        ref_hist=jnp.asarray(hp[0]),
+        delay=pp[:, 0],
+        phase=np.ascontiguousarray(pp[:, 1:3]),
+        lag=pp[:, 3],
+        mag=pp[:, 4],
+        papr=pp[:, 5],
+        synced=ip[:, 0].astype(bool),
+        last_seq=np.ascontiguousarray(ip[:, 1]).view(np.uint32),
+        gaps=np.ascontiguousarray(ip[:, 2]),
+        block_idx=np.int32(ip[0, 3]),
+        hist=hp[1:],
+        ref_hist=hp[0],
     )
 
 

@@ -416,14 +416,22 @@ void zmq_producer_main(Producer *p) {
   auto &z = zmqdl::api();
   const size_t payload_bytes = p->ring->block_bytes;
   const uint32_t n_tracks = p->ring->n_seq;
-  // headroom for hdr0 + seqnums of up to 4096 channels (a hostile header
-  // claiming more fails the exact-length check below)
+  // headroom for hdr0 + seqnums of up to 4096 channels
   std::vector<uint8_t> buf(payload_bytes + sizeof(Hdr0) + 4 * 4096);
   std::vector<uint64_t> seqs(n_tracks ? n_tracks : 1);
   uint64_t seq = 0;
   while (!p->stop.load(std::memory_order_relaxed)) {
     int n = z.recv(p->zsock, buf.data(), buf.size(), 0);
     if (n < 0) continue;  // RCVTIMEO poll tick
+    // zmq_recv returns the FULL message size even when it truncated the
+    // copy to buf.size() — anything larger than the buffer was truncated
+    // and must be rejected before any length check is trusted (a hostile
+    // hdr0 with huge N could otherwise pass the exact-length test while
+    // the buffer holds fewer bytes: heap overflow).
+    if (static_cast<size_t>(n) > buf.size()) {
+      p->rejected.fetch_add(1, std::memory_order_relaxed);
+      continue;
+    }
     if (static_cast<size_t>(n) == payload_bytes) {  // raw block
       chost_ring_push(p->ring, buf.data(), ++seq);
       p->pushed.fetch_add(1, std::memory_order_relaxed);
@@ -433,7 +441,13 @@ void zmq_producer_main(Producer *p) {
       Hdr0 h;
       std::memcpy(&h, buf.data(), sizeof(h));
       size_t pay = size_t(2) * h.N * h.L;
-      if (pay == payload_bytes &&
+      // geometry contract: the byte count must match AND, on a
+      // per-channel ring, the wire channel count must equal the ring's
+      // track count — a frame with the right total bytes but the wrong
+      // (N, L) split would otherwise scramble channels and mis-attribute
+      // seqnums in the very path built for per-channel drop visibility.
+      bool geom_ok = n_tracks <= 1 || h.N == n_tracks;
+      if (geom_ok && pay == payload_bytes &&
           static_cast<size_t>(n) == sizeof(Hdr0) + 4 * size_t(h.N) + pay) {
         const uint8_t *sp = buf.data() + sizeof(Hdr0);
         uint32_t nn = h.N < seqs.size() ? h.N : uint32_t(seqs.size());
@@ -683,7 +697,11 @@ struct RtlCapture {
   BlockRing *ring = nullptr;
   std::vector<std::unique_ptr<RtlDev>> devs;  // [0] = reference channel
   std::mutex devs_mtx;  // guards devs; assembler holds it per frame
-  std::atomic<bool> mutate_pending{false};  // add/del/stop wants devs_mtx
+  // COUNT of waiters that want devs_mtx with priority (add/del/stop and
+  // every DevsLock below). A counter, not a bool: two concurrent waiters
+  // must not wipe each other's flag when the first one clears it, or the
+  // second is re-exposed to the assembler's 200 ms-hold loop.
+  std::atomic<int> mutate_pending{0};
   std::thread assembler;
   std::atomic<bool> stop{false};
   std::atomic<bool> done{false};
@@ -934,9 +952,9 @@ struct DevsLock {
   RtlCapture *c;
   std::unique_lock<std::mutex> lk;
   explicit DevsLock(RtlCapture *cc) : c(cc) {
-    c->mutate_pending.store(true, std::memory_order_release);
+    c->mutate_pending.fetch_add(1, std::memory_order_release);
     lk = std::unique_lock<std::mutex>(c->devs_mtx);
-    c->mutate_pending.store(false, std::memory_order_release);
+    c->mutate_pending.fetch_sub(1, std::memory_order_release);
   }
 };
 
@@ -1209,15 +1227,15 @@ int chost_rtlsdr_capture_add(void *cv, const char *serial,
   RtlDev *d;
   int index;
   {
-    c->mutate_pending.store(true, std::memory_order_release);
+    c->mutate_pending.fetch_add(1, std::memory_order_release);
     std::lock_guard<std::mutex> g(c->devs_mtx);
     if (c->devs.size() >= c->max_chans) {
-      c->mutate_pending.store(false, std::memory_order_release);
+      c->mutate_pending.fetch_sub(1, std::memory_order_release);
       return -1;  // ring has no spare channel slot
     }
     for (auto &e : c->devs) {
       if (e->serial == serial) {  // duplicate: that dongle is capturing
-        c->mutate_pending.store(false, std::memory_order_release);
+        c->mutate_pending.fetch_sub(1, std::memory_order_release);
         return -1;
       }
     }
@@ -1231,7 +1249,7 @@ int chost_rtlsdr_capture_add(void *cv, const char *serial,
     index = static_cast<int>(c->devs.size());
     c->devs.push_back(std::move(nd));
     d->th = std::thread(rtl_device_main, d);
-    c->mutate_pending.store(false, std::memory_order_release);
+    c->mutate_pending.fetch_sub(1, std::memory_order_release);
   }
   // Wait (outside the lock) for open+configure to finish.
   while (d->open_rc.load() == RtlDev::kOpenPending)
@@ -1241,7 +1259,7 @@ int chost_rtlsdr_capture_add(void *cv, const char *serial,
     // remove the zombie BY IDENTITY (never by serial: a lookup could hit
     // another device), else its empty FIFO stalls every future frame
     std::unique_ptr<RtlDev> victim;
-    c->mutate_pending.store(true, std::memory_order_release);
+    c->mutate_pending.fetch_add(1, std::memory_order_release);
     {
       std::lock_guard<std::mutex> g(c->devs_mtx);
       for (size_t i = 0; i < c->devs.size(); ++i) {
@@ -1251,7 +1269,7 @@ int chost_rtlsdr_capture_add(void *cv, const char *serial,
           break;
         }
       }
-      c->mutate_pending.store(false, std::memory_order_release);
+      c->mutate_pending.fetch_sub(1, std::memory_order_release);
     }
     if (victim) {
       rtl_join_dev(victim.get());
@@ -1272,7 +1290,7 @@ int chost_rtlsdr_capture_remove(void *cv, const char *serial) {
   auto &r = rtldl::api();
   std::unique_ptr<RtlDev> victim;
   int index = -1;
-  c->mutate_pending.store(true, std::memory_order_release);
+  c->mutate_pending.fetch_add(1, std::memory_order_release);
   {
     std::lock_guard<std::mutex> g(c->devs_mtx);
     for (size_t i = 0; i < c->devs.size(); ++i) {
@@ -1283,7 +1301,7 @@ int chost_rtlsdr_capture_remove(void *cv, const char *serial) {
         break;
       }
     }
-    c->mutate_pending.store(false, std::memory_order_release);
+    c->mutate_pending.fetch_sub(1, std::memory_order_release);
   }
   if (!victim) return -1;
   (void)r;
@@ -1303,7 +1321,7 @@ void chost_rtlsdr_capture_stop(void *cv) {
   auto *c = static_cast<RtlCapture *>(cv);
   if (!c) return;
   c->stop.store(true);
-  c->mutate_pending.store(true, std::memory_order_release);  // unblock pass 1
+  c->mutate_pending.fetch_add(1, std::memory_order_release);  // unblock pass 1
   // Detach the device list under devs_mtx (the assembler or an in-flight
   // setter may still be walking it), then join outside the lock: joins can
   // take hundreds of ms and the assembler needs the mutex to notice stop.

@@ -2,6 +2,7 @@
 native packetizer and the Python reference implementation, and conversion
 hot loops. Skipped when the library isn't built (`make -C native`)."""
 
+import struct
 import threading
 import time
 
@@ -300,6 +301,24 @@ class TestNativeProducer:
         try:
             time.sleep(0.4)  # SUB join
             pub.send(b"\x00" * (block_bytes + 7))  # bad geometry: rejected
+            # header with a wrong channel count for this per-channel ring
+            # (N=48, L=4 — right payload size): rejected by geometry
+            nh, lh = block_bytes // 8, 4
+            hostile = (
+                struct.pack("<IIII", 0, nh, lh, 0)
+                + b"\x00" * (4 * nh)
+                + b"\x00" * (2 * nh * lh)
+            )
+            pub.send(hostile)
+            # right total bytes, wrong channel split for this ring: the
+            # per-channel seqnum contract would be scrambled — rejected
+            n2, l2 = 2 * (n + 1), L // 2
+            wrongsplit = (
+                struct.pack("<IIII", 0, n2, l2, 0)
+                + b"\x00" * (4 * n2)
+                + b"\x00" * (2 * n2 * l2)
+            )
+            pub.send(wrongsplit)
             for t, fr in enumerate(frames):
                 iq = (fr ^ np.uint8(0x80)).view(np.int8)
                 pub.send(pack_frame(t, seq_rows[t], iq))
@@ -308,7 +327,7 @@ class TestNativeProducer:
                 time.sleep(0.01)
             assert prod.pushed == T
             assert prod.hdr_frames == T
-            assert prod.rejected == 1
+            assert prod.rejected == 3
 
             src = RingSource(ring, n_channels=n, block_len=L, timeout_ms=1000)
             got_seqs = []
@@ -324,6 +343,48 @@ class TestNativeProducer:
             assert d[2, 0] == 2        # the injected gap, exactly here
             d[2, 0] = 1
             np.testing.assert_array_equal(d, np.ones_like(d))  # rest clean
+        finally:
+            prod.stop()
+            pub.close(0)
+            ctx.term()
+
+    def test_zmq_producer_rejects_truncated_hostile_header(self):
+        """Regression (ASAN-confirmed round-5 review finding): a header
+        claiming N so large that the message exceeds the receive buffer is
+        TRUNCATED by zmq_recv — but zmq_recv still returns the full size,
+        so the exact-length check alone would pass and the XOR/push would
+        run past the heap buffer. The producer must reject any message
+        larger than its buffer."""
+        import zmq
+
+        # legacy frame-level ring (n_seq=1): the geometry check cannot
+        # save us here, only the truncation check can
+        block_bytes = 16384
+        ring = native.NativeBlockRing(16, block_bytes)  # n_seq=1
+        ctx = zmq.Context()
+        pub = ctx.socket(zmq.PUB)
+        pub.bind("tcp://127.0.0.1:17604")
+        prod = native.NativeProducer.zmq(ring, "tcp://127.0.0.1:17604")
+        try:
+            time.sleep(0.4)
+            nh, lh = 8192, 1  # pay = 2*8192*1 == block_bytes; hdr+seqnums
+            hostile = (                      # total 49168 B > recv buffer
+                struct.pack("<IIII", 0, nh, lh, 0)
+                + b"\x00" * (4 * nh)
+                + b"\x7f" * (2 * nh * lh)
+            )
+            pub.send(hostile)
+            deadline = time.time() + 5.0
+            while prod.rejected < 1 and time.time() < deadline:
+                time.sleep(0.01)
+            assert prod.rejected == 1
+            assert prod.pushed == 0
+            # the producer thread survived and still accepts good blocks
+            pub.send(b"\x80" * block_bytes)
+            deadline = time.time() + 5.0
+            while prod.pushed < 1 and time.time() < deadline:
+                time.sleep(0.01)
+            assert prod.pushed == 1
         finally:
             prod.stop()
             pub.close(0)

@@ -527,11 +527,20 @@ class TestPerChannelSeqnums:
                          asyncbufn=2)
             frames = []
             try:
-                deadline = time.time() + 30
-                while len(frames) < 40 and time.time() < deadline:
+                # collect until the fast channel has shown a drop gap (or
+                # the deadline): under full-suite CPU contention the 10x
+                # rate mismatch can take more than 40 frames to overflow
+                # the 4-block FIFO (observed flake, round 5)
+                deadline = time.time() + 60
+                while time.time() < deadline:
                     out = ring.pop_n(timeout_ms=5000)
                     if out is not None:
                         frames.append(out)
+                    if len(frames) >= 40 and any(
+                        int(b[1][2]) - int(a[1][2]) > 1
+                        for a, b in zip(frames, frames[1:])
+                    ):
+                        break
             finally:
                 dropped = cap.dropped
                 cap.stop()

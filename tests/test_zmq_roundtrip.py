@@ -199,6 +199,103 @@ class TestCoherentClient:
         assert srv.refnoise_enabled is True
 
 
+class TestClientFcCache:
+    """The cached center_frequency must track the ARRAY, not the request
+    (round-5 review finding): a failed retune reply or a TIMEOUT from a
+    server known to reply leaves the cache unchanged; silence from a
+    server that has never replied (the reference binary) counts as
+    success."""
+
+    def _client(self, port, timeout_ms=300):
+        from coherent_rtlsdr_tpu.io.client import CoherentClient
+
+        return CoherentClient(
+            data_addr=f"tcp://127.0.0.1:{port}",
+            ctrl_addr=f"tcp://127.0.0.1:{port + 1}",
+            timeout_ms=timeout_ms,
+        )
+
+    def test_silent_server_counts_as_success(self):
+        import zmq
+
+        ctx = zmq.Context.instance()
+        router = ctx.socket(zmq.ROUTER)  # binds, never replies (reference)
+        router.bind("tcp://127.0.0.1:18770")
+        cli = self._client(18769)
+        try:
+            cli.center_frequency = 868e6
+            assert cli.center_frequency == 868e6
+        finally:
+            cli.close()
+            router.close(0)
+
+    def test_timeout_after_known_replies_leaves_cache(self):
+        import threading
+
+        import zmq
+
+        ctx = zmq.Context.instance()
+        router = ctx.socket(zmq.ROUTER)
+        router.bind("tcp://127.0.0.1:18772")
+        router.setsockopt(zmq.RCVTIMEO, 5000)
+        replies = [b"fcenter set to 868000000"]  # reply once, then go mute
+
+        def serve():
+            while True:
+                try:
+                    ident, msg = router.recv_multipart()
+                except zmq.Again:
+                    return
+                if replies:
+                    router.send_multipart([ident, replies.pop()])
+
+        th = threading.Thread(target=serve, daemon=True)
+        th.start()
+        cli = self._client(18771)
+        try:
+            cli.center_frequency = 868e6       # replied: cached
+            assert cli.center_frequency == 868e6
+            cli.center_frequency = 900e6       # times out: outcome unknown
+            assert cli.center_frequency == 868e6
+        finally:
+            cli.close()
+            router.close(0)
+            th.join(timeout=10)
+
+    def test_failed_reply_leaves_cache(self):
+        import threading
+
+        import zmq
+
+        ctx = zmq.Context.instance()
+        router = ctx.socket(zmq.ROUTER)
+        router.bind("tcp://127.0.0.1:18774")
+        router.setsockopt(zmq.RCVTIMEO, 5000)
+        replies = [b"fcenter set to 868000000",
+                   b"fcenter retune FAILED (rc=-1); tuning restored"]
+
+        def serve():
+            for _ in range(2):
+                try:
+                    ident, msg = router.recv_multipart()
+                except zmq.Again:
+                    return
+                router.send_multipart([ident, replies.pop(0)])
+
+        th = threading.Thread(target=serve, daemon=True)
+        th.start()
+        cli = self._client(18773)
+        try:
+            cli.center_frequency = 868e6
+            assert cli.center_frequency == 868e6
+            cli.center_frequency = 900e6       # server says FAILED
+            assert cli.center_frequency == 868e6
+        finally:
+            cli.close()
+            router.close(0)
+            th.join(timeout=10)
+
+
 class TestMalformedFrames:
     """A hostile/buggy peer on the DATA port must not stop a consumer:
     truncated or geometry-lying frames are skipped, valid ones still
