@@ -486,8 +486,9 @@ def bench_server(n_blocks=160, warmup=40, rate_fps=0.0, port_base=16555):
     publisher. This is the number the reference's hot loop corresponds to
     (ccoherent::threadf + cpacketize::send, src/ccoherent.cc:245-294), host
     edge included. ``rate_fps`` paces the producer (a live capture at
-    fs = rate_fps * L); 0 = flat out. Returns (frames/s, samples/s);
-    0 when the native library isn't available."""
+    fs = rate_fps * L); 0 = flat out. Returns (frames/s, samples/s,
+    ring_drops_in_window); zeros when the native library isn't
+    available."""
     import tempfile
 
     from coherent_rtlsdr_tpu import native
@@ -495,7 +496,7 @@ def bench_server(n_blocks=160, warmup=40, rate_fps=0.0, port_base=16555):
     from coherent_rtlsdr_tpu.signal.sources import RingSource
 
     if not native.available():
-        return 0.0, 0.0
+        return 0.0, 0.0, 0
 
     cfg = PipelineConfig(n_channels=N_CH, block_len=L, **FUSED)
     block_bytes = (N_CH + 1) * L * 2
@@ -518,13 +519,19 @@ def bench_server(n_blocks=160, warmup=40, rate_fps=0.0, port_base=16555):
     )
     try:
         server.run(max_blocks=warmup)
+        if rate_fps > 0:
+            # the ring buffers up to 128 blocks during jit/claim warmup; a
+            # paced run must measure SUSTAINED pacing, not backlog drain
+            source.drain()
+        drops0 = ring.dropped
         t0 = time.perf_counter()
         n = server.run(max_blocks=n_blocks)
         dt = time.perf_counter() - t0
+        drops = int(ring.dropped - drops0)
     finally:
         producer.stop()
         os.unlink(path)
-    return n / dt, n * N_CH * L / dt
+    return n / dt, n * N_CH * L / dt, drops
 
 
 def bench_server_envelope(server_fps):
@@ -533,15 +540,32 @@ def bench_server_envelope(server_fps):
     server chain sustains in THIS environment — the measured counterpart
     of the reference's defining real-time property (it runs 21ch at
     2.048 Msps on a RockPI with documented dropouts, README.md:42, and
-    documents a 250 kHz fallback, install_on_rpi:5). A paced run passes
-    when measured frames/s >= 97% of the target (a lagging server drops
-    ring frames and measures below target). Candidates bracket the
-    unpaced ceiling and always include the reference's 250 kHz fallback
-    point. Returns (verified_fs_hz, fps_at_that_point, realtime_at_250k).
-    The unpaced `server_samples_per_s` remains tunnel-bound (PERF r2 #6);
-    this field shows where the chain IS realtime despite that."""
+    documents a 250 kHz fallback, install_on_rpi:5). "Sustained" means the
+    timed window (ring backlog drained first) sees ZERO ring drops — a
+    lagging consumer backs the ring up into drops — plus an fps sanity
+    bound at 85% of target (the measured fps carries a constant ~0.7 s
+    final-batch publish tail, so a strict fps threshold would fail
+    genuinely-sustained short windows; the drop criterion is the real
+    test). Candidates bracket the unpaced ceiling and always include the
+    reference's 250 kHz fallback point.
+    Returns (verified_fs_hz, fps_at_that_point, realtime_at_250k).
+    The unpaced `server_samples_per_s` remains tunnel-bound (PERF r2 #6)
+    and the whole envelope swings with the tunnel lottery (same-day
+    unpaced spread 2.8-42.9 f/s, PERF r5); this field shows where the
+    chain IS realtime on the claim the bench drew."""
     if server_fps <= 0:
         return 0.0, 0.0, 0
+
+    def sustained(tgt, port):
+        # ~12 s of wall per probe regardless of the claim's rate (a
+        # 2.8 f/s tunnel day must not turn the bench into minutes per
+        # candidate); floor at 60 blocks so the window stays meaningful
+        nb = int(max(60, min(240, tgt * 12)))
+        fps, _, drops = bench_server(
+            n_blocks=nb, warmup=16, rate_fps=tgt, port_base=port
+        )
+        return drops == 0 and fps >= 0.85 * tgt, fps
+
     fps250 = 250e3 / L
     cands = sorted({0.85 * server_fps, 0.60 * server_fps, fps250},
                    reverse=True)
@@ -549,21 +573,17 @@ def bench_server_envelope(server_fps):
     best_fs, best_fps, rt250 = 0.0, 0.0, 0
     tested250 = False
     for tgt in cands:
-        fps, _ = bench_server(
-            n_blocks=120, warmup=16, rate_fps=tgt, port_base=port
-        )
+        ok, fps = sustained(tgt, port)
         port += 10
         tested250 = tested250 or tgt <= fps250 + 1e-9
-        if fps >= 0.97 * tgt:
+        if ok:
             best_fs, best_fps = tgt * L, fps
             rt250 = 1 if best_fs >= 250e3 - 1e-6 else 0
             break  # candidates descend; first sustained = the envelope
     if not rt250 and not tested250:
         # explicitly verify the reference 250 kHz fallback point
-        fps, _ = bench_server(
-            n_blocks=120, warmup=16, rate_fps=fps250, port_base=port
-        )
-        if fps >= 0.97 * fps250:
+        ok, fps = sustained(fps250, port)
+        if ok:
             rt250 = 1
             if best_fs == 0.0:
                 best_fs, best_fps = 250e3, fps
@@ -603,7 +623,7 @@ def main():
         fused_time_sharded = bench_fused_time_sharded_1x1()
         sharded_server = bench_sharded_server_scan_1x1()
         phase_rms, lag_rms = bench_quality()
-        server_fps, server_sps = bench_server()
+        server_fps, server_sps, _ = bench_server()
         env_fs, env_fps, rt250 = bench_server_envelope(server_fps)
     best_off = max(offline, offline_fused)
     best_scan = max(scan, scan_fused, scan32_pipelined)
