@@ -114,15 +114,28 @@ class CoherentClient:
         # request/reply pairing desyncs forever (first TPU claim stalls
         # the server loop for minutes — CLAUDE.md rule 4)
         while self._ctl.poll(0):
-            self._ctl.recv()
-            self._replies = True  # a late reply still proves it replies
+            self._note_late_reply(self._ctl.recv())
         self._ctl.send_string(line)
         try:
             out = self._ctl.recv().decode()
             self._replies = True
+            if not line.startswith("fcenter"):
+                # a mismatched reply (a previous timed-out command's
+                # verdict landing as this one's) still carries information
+                self._note_late_reply(out.encode())
             return out
         except self._zmq.Again:
             return ""
+
+    def _note_late_reply(self, msg: bytes) -> None:
+        """A reply belonging to an EARLIER (timed-out) command: it proves
+        the server replies, and a late 'fcenter retune FAILED' verdict
+        means an optimistically-cached retune (the first-command case —
+        nothing had yet proved this server replies) never took effect:
+        mark the cached fc unknown rather than keep lying."""
+        self._replies = True
+        if b"fcenter retune FAILED" in msg:
+            self._fc = None
 
     @property
     def center_frequency(self) -> Optional[float]:

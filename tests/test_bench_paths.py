@@ -90,7 +90,7 @@ class TestBenchPaths:
 
         if not native.available():
             pytest.skip("native library not built")
-        fps, sps, drops = bench.bench_server(n_blocks=4, warmup=2)
+        fps, sps, drops, fill = bench.bench_server(n_blocks=4, warmup=2)
         assert _finite_positive(fps) and _finite_positive(sps)
 
     def test_trace_flag_without_dir_errors_cleanly(self, bench):
@@ -131,8 +131,8 @@ class TestBenchPaths:
         if not native.available():
             pytest.skip("native library not built")
         # a paced run at a trivially sustainable rate must verify realtime
-        fps, sps, drops = bench.bench_server(
+        fps, sps, drops, fill = bench.bench_server(
             n_blocks=4, warmup=2, rate_fps=1000.0, port_base=17655
         )
         assert _finite_positive(fps)
-        assert drops >= 0
+        assert drops >= 0 and fill >= 0

@@ -262,6 +262,43 @@ class TestClientFcCache:
             router.close(0)
             th.join(timeout=10)
 
+    def test_first_command_timeout_then_late_failed_invalidates_cache(self):
+        """The first-ever command has no proof the server replies, so a
+        timeout is (optimistically) cached — but when the late 'FAILED'
+        verdict arrives with the next command's drain, the cache must go
+        to unknown rather than keep lying (round-5 review finding)."""
+        import threading
+
+        import zmq
+
+        ctx = zmq.Context.instance()
+        router = ctx.socket(zmq.ROUTER)
+        router.bind("tcp://127.0.0.1:18776")
+        router.setsockopt(zmq.RCVTIMEO, 10000)
+        first_delay = [6.5]  # longer than the client's 5 s ctl floor
+
+        def serve():
+            for reply in (b"fcenter retune FAILED (rc=-1)", b"ok"):
+                try:
+                    ident, msg = router.recv_multipart()
+                except zmq.Again:
+                    return
+                time.sleep(first_delay.pop(0) if first_delay else 0.0)
+                router.send_multipart([ident, reply])
+
+        th = threading.Thread(target=serve, daemon=True)
+        th.start()
+        cli = self._client(18775, timeout_ms=1000)
+        try:
+            cli.center_frequency = 900e6   # times out; optimistically cached
+            assert cli.center_frequency == 900e6
+            cli.command("status")          # drains the late FAILED verdict
+            assert cli.center_frequency is None  # cache now unknown
+        finally:
+            cli.close()
+            router.close(0)
+            th.join(timeout=20)
+
     def test_failed_reply_leaves_cache(self):
         import threading
 
