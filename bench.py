@@ -573,26 +573,22 @@ def bench_server_envelope(server_fps):
         return ok, fps
 
     fps250 = 250e3 / L
-    cands = sorted({0.85 * server_fps, 0.60 * server_fps, fps250},
-                   reverse=True)
+    # ASCENDING with memory: every candidate runs and the best pass wins.
+    # A descending early-exit let one cold window zero the whole envelope
+    # — claim condition varies over the probe's own lifetime (live
+    # observation: the first paced window of a claim ran at 0.77x its
+    # steady rate; the very next window passed at 0.96x). The 250 kHz
+    # reference fallback point is always among the candidates.
+    cands = sorted({0.85 * server_fps, 0.60 * server_fps, fps250})
     port = 16655
     best_fs, best_fps, rt250 = 0.0, 0.0, 0
-    tested250 = False
     for tgt in cands:
         ok, fps = sustained(tgt, port)
         port += 10
-        tested250 = tested250 or tgt <= fps250 + 1e-9
         if ok:
             best_fs, best_fps = tgt * L, fps
-            rt250 = 1 if best_fs >= 250e3 - 1e-6 else 0
-            break  # candidates descend; first sustained = the envelope
-    if not rt250 and not tested250:
-        # explicitly verify the reference 250 kHz fallback point
-        ok, fps = sustained(fps250, port)
-        if ok:
-            rt250 = 1
-            if best_fs == 0.0:
-                best_fs, best_fps = 250e3, fps
+            if best_fs >= 250e3 - 1e-6:
+                rt250 = 1
     return best_fs, best_fps, rt250
 
 
