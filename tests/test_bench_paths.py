@@ -125,6 +125,35 @@ class TestBenchPaths:
         assert 20 < bps < 40       # ~26.8 B/sample at 21ch/nc=7
         assert 5e3 < fps < 3e4     # ~12 kFLOP/sample at m=64 (tiny L)
 
+    def test_envelope_ascending_with_memory(self, bench, monkeypatch):
+        """The envelope sweep must keep the best PASSING candidate even
+        when a colder (smaller) one failed first, and must apply all
+        three criteria (drops, end-of-window backlog, fps bound)."""
+        calls = []
+
+        def fake_server(n_blocks=0, warmup=0, rate_fps=0.0, port_base=0):
+            calls.append(rate_fps)
+            # smallest candidate: cold window (fps far under target)
+            if rate_fps < 20:
+                return 0.5 * rate_fps, 0.0, 0, 5
+            # 250 kHz point: sustained
+            if abs(rate_fps - 250e3 / bench.L) < 1e-6:
+                return 0.95 * rate_fps, 0.0, 0, 10
+            # largest: zero drops but runaway backlog -> NOT sustained
+            return 0.92 * rate_fps, 0.0, 0, 120
+
+        monkeypatch.setattr(bench, "bench_server", fake_server)
+        fs, fps, rt250 = bench.bench_server_envelope(40.0)
+        assert calls == sorted(calls)          # ascending sweep
+        assert fs == 250e3 and rt250 == 1      # best pass remembered
+        # a drop in the window disqualifies even with good fps
+        monkeypatch.setattr(
+            bench, "bench_server",
+            lambda **kw: (kw["rate_fps"], 0.0, 3, 5),
+        )
+        fs, fps, rt250 = bench.bench_server_envelope(40.0)
+        assert fs == 0.0 and rt250 == 0
+
     def test_server_envelope_paced(self, bench):
         from coherent_rtlsdr_tpu import native
 
