@@ -168,6 +168,23 @@ class TestPackedState:
         assert np.asarray(w1).shape == np.asarray(w_ref)[0].shape
         assert int(np.asarray(unpack_state_host(*ps2).block_idx)) == 7
 
+    def test_unpack_host_returns_numpy_leaves(self):
+        """The host-edge unpack must NOT re-upload leaves to the device:
+        console touchpoints (status, checkpoint) read the view with numpy
+        and re-uploading 11 leaves per command costs ~11 transfers on a
+        13-26 ms-RTT backend (round-5 review finding)."""
+        from coherent_rtlsdr_tpu.pipeline.state import (
+            pack_state_host,
+            unpack_state_host,
+        )
+
+        cfg = PipelineConfig(n_channels=3, block_len=L)
+        s = unpack_state_host(*pack_state_host(init_state(cfg)))
+        for name in s.__dataclass_fields__:
+            leaf = getattr(s, name)
+            assert isinstance(leaf, (np.ndarray, np.generic)), (
+                name, type(leaf))
+
 
 class TestPackedTelemetry:
     def test_pack_matches_pytree(self):

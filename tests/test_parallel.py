@@ -179,6 +179,33 @@ class TestChannelShardedAlign:
             np.asarray(delay_s[-1]), truth.delays, atol=0.1
         )
 
+    def test_fused_time_sharded_time_only_mesh(self):
+        """All eight devices on the TIME axis (channel unsharded) — the
+        pure halo-chain configuration: every shard boundary exercises the
+        ppermute, and the psum spans all eight shards."""
+        from coherent_rtlsdr_tpu.parallel import make_fused_time_sharded_align
+
+        Lf = 2048
+        N, T = 3, 8
+        truth = make_truth(N, seed=6, max_delay=20.0, snr_db=30.0)
+        cap = synth_capture(jax.random.PRNGKey(6), truth, n_blocks=T,
+                            block_len=Lf)
+        cfg = PipelineConfig(n_channels=N, block_len=Lf, fft_impl="fused",
+                             lag_method="phase_zoom")
+        sig = jnp.asarray(np.asarray(cap.sig_u8).reshape(T, N, 2 * Lf))
+        ref = jnp.asarray(np.asarray(cap.ref_u8).reshape(T, 2 * Lf))
+        res = jax.jit(
+            lambda s, r: align_offline(cfg, s, r, smoothing="global")
+        )(sig, ref)
+        run = make_fused_time_sharded_align(cfg, make_mesh(8, 1))
+        wire_s, wref_s, delay_s, mag_s = jax.block_until_ready(run(sig, ref))
+        np.testing.assert_allclose(
+            np.asarray(delay_s[1:]), np.asarray(res.delay), atol=1e-4
+        )
+        diff = np.abs(np.asarray(wire_s[1:], np.int32)
+                      - np.asarray(res.wire, np.int32))
+        assert diff.max() <= 1
+
     def test_fused_time_sharded_rejects_wrong_backend(self):
         from coherent_rtlsdr_tpu.parallel import make_fused_time_sharded_align
 
